@@ -1,0 +1,87 @@
+"""Crawl configuration.
+
+Mirrors the reference's ``Meta``/``CrawlerOptions`` surface
+(/root/reference/kryptone/base.py:41-196) plus the engine-only knobs
+(politeness budgets, partitioning, canonicalization mode) that the
+single-process reference never needed.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+# The reference resolves image extensions from PIL's registry
+# (/root/reference/kryptone/utils/urls.py:30-38): dot-prefixed,
+# lowercase, matched case-sensitively against pathlib suffixes.
+# We pin an explicit list (PIL's common registrations) so behaviour
+# does not depend on an optional import.
+DEFAULT_IMAGE_EXTENSIONS: tuple[str, ...] = (
+    ".apng", ".avif", ".blp", ".bmp", ".bufr", ".bw", ".cur", ".dcx",
+    ".dds", ".dib", ".emf", ".eps", ".fit", ".fits", ".flc", ".fli",
+    ".ftc", ".ftu", ".gbr", ".gif", ".grib", ".h5", ".hdf", ".icb",
+    ".icns", ".ico", ".iim", ".im", ".j2c", ".j2k", ".jfif", ".jp2",
+    ".jpc", ".jpe", ".jpeg", ".jpf", ".jpg", ".jpx", ".mpeg", ".mpg",
+    ".mpo", ".msp", ".palm", ".pbm", ".pcd", ".pcx", ".pdf", ".pgm",
+    ".png", ".pnm", ".ppm", ".ps", ".psd", ".pxr", ".qoi", ".ras",
+    ".rgb", ".rgba", ".sgi", ".tga", ".tif", ".tiff", ".vda", ".vst",
+    ".webp", ".wmf", ".xbm", ".xpm",
+)
+
+# Tracking params stripped by the engine's *full* canonicalization mode
+# (north-rule capability; the reference never strips queries — its
+# `ignore_queries` Meta option is declared but dead,
+# /root/reference/kryptone/base.py:158 vs 652-760).
+DEFAULT_TRACKING_PARAMS: tuple[str, ...] = (
+    "utm_source", "utm_medium", "utm_campaign", "utm_term",
+    "utm_content", "gclid", "fbclid", "msclkid", "mc_eid",
+)
+
+
+@dataclass
+class CrawlConfig:
+    """One crawl = one config. Field-for-field provenance:
+
+    - ``start_urls``            ↔ Meta.start_urls (base.py:66-67)
+    - ``gather_ignore_tests``   ↔ url_gather_ignore_tests, OR of
+      regex-on-path, applied before resolution and *before* the seen
+      set is updated (base.py:661-670)
+    - ``rule_tests``            ↔ url_rule_tests, AND of regex-on-path
+      (base.py:735-740)
+    - ``ignore_path_substrings``↔ URLIgnoreTest(paths=...) — drop when
+      any substring occurs in the path (urls.py:509-551)
+    - ``ignore_url_regexes``    ↔ URLIgnoreRegexTest — drop when regex
+      search hits anywhere in the whole url (urls.py:554-581)
+    - ``ignore_images``         ↔ Meta.ignore_images (base.py:159,719-722)
+    - ``wait_time``/``wait_time_range`` ↔ settings.WAIT_TIME[_RANGE]
+      (conf/base.py:28-36); the engine converts waits into scheduled
+      ``fetch_at`` timestamps instead of sleeping.
+    """
+
+    start_urls: list[str] = field(default_factory=list)
+    gather_ignore_tests: list[str] = field(default_factory=list)
+    rule_tests: list[str] = field(default_factory=list)
+    ignore_path_substrings: list[str] = field(default_factory=list)
+    ignore_url_regexes: list[str] = field(default_factory=list)
+    ignore_images: bool = False
+    image_extensions: tuple[str, ...] = DEFAULT_IMAGE_EXTENSIONS
+
+    # politeness / scheduling (engine-side, W1 in SURVEY.md §2.5)
+    wait_time: float = 25.0
+    max_per_domain_per_wave: int = 1_000_000_000
+    max_waves: int = 64
+
+    # partitioning (engine-only; W4 salted domain buckets)
+    n_domain_buckets: int = 64
+
+    # canonicalization: "parity" reproduces the reference's observable
+    # URL identity (resolved string, fragments *rejected* not stripped);
+    # "full" is the north-rule canonicalizer (strip fragment/tracking
+    # params, lowercase scheme+host, normalize trailing slash).
+    canonicalize: str = "parity"
+    tracking_params: tuple[str, ...] = DEFAULT_TRACKING_PARAMS
+
+    @property
+    def start_url(self) -> str | None:
+        """The reference pins the domain filter to the *last* seed
+        (base.py:1048-1049: ``URL(start_urls[-1])``)."""
+        return self.start_urls[-1] if self.start_urls else None

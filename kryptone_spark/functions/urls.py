@@ -1,0 +1,248 @@
+"""URL algebra as native Spark columns.
+
+Reproduces the observable behaviour of the reference's ``URL`` value
+object (/root/reference/kryptone/utils/urls.py:41-311) with zero
+per-row Python: one RFC-3986 regex split (faithful to
+``urllib.parse.urlparse`` on the shapes the crawler meets), predicate
+columns, and the relative-URL resolution + percent-decoding that
+``SiteCrawler.urljoin`` performs (/root/reference/kryptone/base.py:611-616).
+
+Everything is a Column-in → Column-out function so Catalyst can fold
+constants, push filters into scans, and keep the whole admission
+pipeline inside one WholeStageCodegen span.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# RFC-3986 appendix-B split, restricted the way urlparse restricts it:
+# a scheme must match [a-zA-Z][a-zA-Z0-9+.-]* and is lowercased; the
+# netloc exists only when '//' immediately follows the scheme; the
+# fragment is everything after the FIRST '#'. (?s) lets '.*' cross the
+# newlines that appear in the reference's invalid-URL corpus.
+_URL_RE = r"(?s)^(?:([a-zA-Z][a-zA-Z0-9+.\-]*):)?(//[^/?#]*)?([^?#]*)(?:\?([^#]*))?(?:#(.*))?$"
+
+
+def _part(url: Column, group: int) -> Column:
+    # urllib strips ASCII tab/newline anywhere in the url before
+    # splitting (WHATWG rule adopted in CPython, bpo-43882); the raw
+    # string (URL identity) keeps them — only parsing ignores them.
+    cleaned = F.regexp_replace(url, "[\\t\\r\\n]", "")
+    return F.regexp_extract(cleaned, _URL_RE, group)
+
+
+def scheme(url: Column) -> Column:
+    """urlparse lowercases the scheme (urllib behaviour)."""
+    return F.lower(_part(url, 1))
+
+
+def netloc(url: Column) -> Column:
+    """Full authority component, case/userinfo/port preserved —
+    ``is_same_domain`` compares raw netlocs (urls.py:355-373)."""
+    return F.regexp_replace(_part(url, 2), "^//", "")
+
+
+def host(url: Column) -> Column:
+    """Lowercased hostname without userinfo/port (engine-side, used for
+    domain bucketing; the reference never separates host from netloc)."""
+    n = netloc(url)
+    n = F.substring_index(n, "@", -1)
+    # strip :port but not IPv6 brackets' colons
+    return F.lower(
+        F.when(n.startswith("["), F.regexp_extract(n, r"^(\[[^\]]*\])", 1))
+        .otherwise(F.substring_index(n, ":", 1))
+    )
+
+
+def path(url: Column) -> Column:
+    return _part(url, 3)
+
+
+def query(url: Column) -> Column:
+    return _part(url, 4)
+
+
+def fragment(url: Column) -> Column:
+    return _part(url, 5)
+
+
+def has_fragment(url: Column) -> Column:
+    """urls.py:206-215 — fragment non-empty OR trailing '#'; both cases
+    collapse to 'contains #' because everything after the first '#' IS
+    the fragment."""
+    return url.contains("#")
+
+
+def is_empty(url: Column) -> Column:
+    """urls.py:175-178 (None handled upstream as empty string)."""
+    return url.isNull() | (url == F.lit(""))
+
+
+def is_relative_path(url: Column) -> Column:
+    """urls.py:179-183 — raw string starts with '/'."""
+    return url.startswith("/")
+
+
+def is_secured(url: Column) -> Column:
+    return scheme(url) == F.lit("https")
+
+
+def has_query(url: Column) -> Column:
+    return query(url) != F.lit("")
+
+
+def has_path(url: Column) -> Column:
+    return path(url) != F.lit("")
+
+
+def url_decode_form(url: Column) -> Column:
+    """``unquote_plus`` equivalent: %XX decode AND '+' → space.
+    Malformed escapes leave the input unchanged (urllib behaviour),
+    hence the try/coalesce."""
+    return F.coalesce(F.try_url_decode(url), url)
+
+
+def url_unquote(url: Column) -> Column:
+    """``urllib.parse.unquote`` equivalent: %XX decode, '+' preserved.
+    Protect literal '+' before form-decoding, restore after."""
+    protected = F.regexp_replace(url, r"\+", "%2B")
+    return F.coalesce(F.try_url_decode(protected), url)
+
+
+def pathlib_suffix(p: Column) -> Column:
+    """``pathlib.Path(p).suffix``: extension (with dot) of the last
+    path component; '' for dotless, leading-dot-only, or trailing-dot
+    names. Case preserved — the reference compares it case-sensitively
+    against a lowercase list (urls.py:242-246)."""
+    name = F.substring_index(p, "/", -1)
+    return F.regexp_extract(name, r"(?<=.)(\.[^./]+)$", 1)
+
+
+def is_image(url: Column, image_extensions: tuple[str, ...]) -> Column:
+    """urls.py:241-246: suffix of ``as_path`` ∈ PIL extension list,
+    where as_path = unquote_plus(path) when a query is present else
+    unquote_plus(raw_url) (urls.py:262-274)."""
+    base = F.when(has_query(url), path(url)).otherwise(url)
+    suffix = pathlib_suffix(url_decode_form(base))
+    return suffix.isin(*image_extensions) if image_extensions else F.lit(False)
+
+
+def is_file(url: Column, file_extensions: tuple[str, ...]) -> Column:
+    """urls.py:248-259 — same suffix logic vs the file-extension list."""
+    base = F.when(has_query(url), path(url)).otherwise(url)
+    suffix = pathlib_suffix(url_decode_form(base))
+    return suffix.isin(*file_extensions) if file_extensions else F.lit(False)
+
+
+_SOCIAL_HOSTS = (
+    "facebook.com", "twitter.com", "tiktok.com", "snapchat.com",
+    "youtube.com", "pinterest.com", "spotify.com",
+)
+
+
+def is_social_link(url: Column) -> Column:
+    """urls.py:156-169 — substring containment on the whole url."""
+    out = F.lit(False)
+    for h in _SOCIAL_HOSTS:
+        out = out | url.contains(h)
+    return ~is_empty(url) & out
+
+
+def origin_of(url: Column) -> Column:
+    """``get_origin`` (base.py:341-352): scheme://netloc with empty
+    path/query/fragment via urlunparse."""
+    return F.concat(scheme(url), F.lit("://"), netloc(url))
+
+
+def resolve_relative(url: Column, origin: Column) -> Column:
+    """``SiteCrawler.urljoin`` (base.py:611-616): strip(), join against
+    the origin, then ``unquote`` the WHOLE result. Only applied when
+    the raw string starts with '/' (check_urls, base.py:681-683).
+
+    Note: true ``urljoin`` also removes dot segments; the engine's fast
+    path does a direct concat (the synthetic corpus is dot-segment-free
+    and tests pin equality with the Python oracle).
+    """
+    return F.when(
+        is_relative_path(url), url_unquote(F.concat(origin, F.trim(url)))
+    ).otherwise(url)
+
+
+def decompose_path(url: Column) -> Column:
+    """urls.py:455-472 — path split on '/', empties dropped."""
+    return F.filter(F.split(path(url), "/"), lambda x: x != F.lit(""))
+
+
+def query_map(url: Column) -> Column:
+    """``parse_qs``-lite: query → map<string,string> (last value wins;
+    the reference's dict-of-lists collapses the same way when rebuilt,
+    urls.py:307-311, 333-358)."""
+    q = query(url)
+    return F.when(
+        q != "",
+        F.map_filter(
+            F.str_to_map(q, "&", "="), lambda k, _: k != F.lit("")
+        ),
+    )
+
+
+def strip_fragment(url: Column) -> Column:
+    """urls.py:474-492 ``remove_fragment`` — the reference rebuilds
+    without fragment AND query; full-canonicalize mode keeps the query
+    (north rule) so we only cut at '#'."""
+    return F.substring_index(url, "#", 1)
+
+
+def registrable_domain(h: Column) -> Column:
+    """PSL-lite: last two labels, or last three when the 2nd-level
+    label is a common ccTLD second level. The reference only ever
+    compares full netlocs (base.py:694-696); this exists for salted
+    domain bucketing at scale."""
+    parts = F.split(h, r"\.")
+    n = F.size(parts)
+    second = F.element_at(parts, -2)
+    common_sl = F.lit(["co", "com", "net", "org", "gov", "ac", "edu"])
+    take3 = (n >= 3) & F.array_contains(common_sl, second)
+    return F.when(
+        take3,
+        F.concat_ws(".", F.element_at(parts, -3), second, F.element_at(parts, -1)),
+    ).otherwise(
+        F.when(n >= 2, F.concat_ws(".", second, F.element_at(parts, -1))).otherwise(h)
+    )
+
+
+def domain_bucket(domain: Column, n_buckets: int) -> Column:
+    """W4 salted-hash partitioning: stable bucket for frontier/seen
+    partition pruning and co-located anti-joins."""
+    return F.pmod(F.xxhash64(domain), F.lit(n_buckets)).cast("int")
+
+
+def canonicalize_full(url: Column, tracking_params: tuple[str, ...]) -> Column:
+    """North-rule canonicalizer: lowercase scheme+host, strip fragment,
+    strip tracking params, normalize trailing slash on non-root paths.
+    Parity mode (the default) bypasses this — the reference rejects
+    fragment URLs instead of stripping them (SURVEY.md §2.2 note)."""
+    base = strip_fragment(url)
+    sch, nl, p, q = scheme(base), netloc(base), path(base), query(base)
+    host_lc = F.lower(nl)
+    p_norm = F.when(p == "/", p).otherwise(F.regexp_replace(p, "/$", ""))
+    tracked = F.lit(list(tracking_params))
+    q_kept = F.when(
+        q != "",
+        F.array_join(
+            F.filter(
+                F.split(q, "&"),
+                lambda kv: ~F.array_contains(tracked, F.substring_index(kv, "=", 1)),
+            ),
+            "&",
+        ),
+    ).otherwise(F.lit(""))
+    rebuilt = F.concat(
+        F.when(sch != "", F.concat(sch, F.lit("://"))).otherwise(F.lit("")),
+        host_lc,
+        p_norm,
+        F.when(q_kept != "", F.concat(F.lit("?"), q_kept)).otherwise(F.lit("")),
+    )
+    return rebuilt

@@ -1,0 +1,191 @@
+"""Frontier admission — the reference's correctness contract, columnar.
+
+Re-expresses ``check_urls`` + ``run_url_filters``
+(/root/reference/kryptone/base.py:652-774) as ONE select/filter chain:
+every predicate P1-P13 from SURVEY.md §2.2 becomes a column, the first
+failing predicate (in the reference's exact evaluation order) becomes
+``reject_reason``, and the two membership tests become left joins whose
+flags feed the same chain. No Python runs per row; the whole pipeline
+is a single WholeStageCodegen span plus (at most) two join exchanges.
+
+Scale notes: the seen/visited joins are the only shuffles. Callers keep
+them cheap by (a) bucket-pruning the seen side on the candidates'
+domain_buckets, and (b) bloom-prefiltering candidates (operators/seen.py)
+so the exact join only sees maybe-seen URLs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kryptone_spark.config import CrawlConfig
+from kryptone_spark.functions import urls as U
+
+REASONS = (
+    "gather_ignore", "refresh_seen", "domain", "empty", "fragment",
+    "home", "image", "visited", "seen", "rule", "ignore_test",
+)
+
+
+def _rlike_any(col: Column, patterns: list[str]) -> Column:
+    """OR of regex searches — constant-folded into one codegen stage."""
+    out = F.lit(False)
+    for p in patterns:
+        out = out | col.rlike(p)
+    return out
+
+
+def _rlike_all(col: Column, patterns: list[str]) -> Column:
+    out = F.lit(True)
+    for p in patterns:
+        out = out & col.rlike(p)
+    return out
+
+
+def gather_filter(candidates: DataFrame, config: CrawlConfig, url_col: str = "url") -> DataFrame:
+    """P1 — ``url_gather_ignore_tests`` (base.py:661-670): drop when ANY
+    regex matches the *pre-resolution* path. Dropped URLs never reach
+    the seen set (they are filtered before the admission loop)."""
+    if not config.gather_ignore_tests:
+        return candidates
+    return candidates.where(
+        ~_rlike_any(U.path(F.col(url_col)), config.gather_ignore_tests)
+    )
+
+
+def admit(
+    candidates: DataFrame,
+    config: CrawlConfig,
+    seen: DataFrame | None = None,
+    visited: DataFrame | None = None,
+    allow_home: bool | str = False,
+    refresh: bool = False,
+) -> DataFrame:
+    """Run the admission pipeline over a batch of candidate links.
+
+    ``candidates`` needs a ``url`` column (raw link string, possibly
+    relative) and optionally ``src_url``. ``seen``/``visited`` need a
+    ``url`` column of previously-seen/visited resolved URLs.
+    ``allow_home`` mirrors the reference's ``iteration_count > 0`` gate
+    on home-page suppression (base.py:706-717): True allows '/' for the
+    whole batch (seed admission), a string allows it only for links
+    found on that src page (the first page ever processed).
+
+    Returns one row per input row with: ``url_raw``, ``url`` (resolved),
+    ``domain``, ``verdict`` ('valid'|'rejected'), ``reject_reason``,
+    ``filtered`` (P13 ignore-tests verdict, applied post-seen-update).
+    P1 gather-ignored rows are dropped entirely (never seen).
+    """
+    start = config.start_url
+    origin_lit = ""
+    seed_path = ""
+    if start is not None:
+        import urllib.parse as _up
+
+        p = _up.urlparse(start)
+        origin_lit = f"{p.scheme}://{p.netloc}"
+        seed_netloc = p.netloc
+        seed_path = p.path
+    else:
+        seed_netloc = None
+
+    df = gather_filter(candidates, config)
+    df = df.withColumnRenamed("url", "url_raw")
+    # P2 — relative resolution + unquote (base.py:681-683, 611-616)
+    df = df.withColumn(
+        "url", U.resolve_relative(F.col("url_raw"), F.lit(origin_lit))
+    )
+
+    # membership flags via left joins (J1/J2); null-safe on the marker
+    if visited is not None:
+        v = visited.select(F.col("url"), F.lit(True).alias("__visited"))
+        df = df.join(F.broadcast(v) if _small(visited) else v, "url", "left")
+    else:
+        df = df.withColumn("__visited", F.lit(None).cast("boolean"))
+    if seen is not None:
+        s = seen.select(F.col("url"), F.lit(True).alias("__seen"))
+        df = df.join(s, "url", "left")
+    else:
+        df = df.withColumn("__seen", F.lit(None).cast("boolean"))
+
+    url = F.col("url")
+    in_visited = F.coalesce(F.col("__visited"), F.lit(False))
+    in_seen = F.coalesce(F.col("__seen"), F.lit(False))
+
+    if isinstance(allow_home, str) and "src_url" in df.columns:
+        home_allowed = F.col("src_url") == F.lit(allow_home)
+    else:
+        home_allowed = F.lit(bool(allow_home))
+
+    # P3-P11 in the reference's exact order (base.py:685-740)
+    checks: list[tuple[str, Column]] = []
+    if refresh:
+        checks.append(("refresh_seen", in_seen))
+    checks.append(
+        ("domain",
+         F.lit(True) if seed_netloc is None
+         else U.netloc(url) != F.lit(seed_netloc))
+    )
+    checks.append(("empty", U.is_empty(url)))
+    checks.append(("fragment", U.has_fragment(url)))
+    checks.append(
+        ("home",
+         (U.path(url) == "/") & F.lit(seed_path == "/") & ~home_allowed)
+    )
+    if config.ignore_images:
+        checks.append(("image", U.is_image(url, config.image_extensions)))
+    checks.append(("visited", in_visited))
+    checks.append(("seen", in_seen))
+    if config.rule_tests:
+        checks.append(("rule", ~_rlike_all(U.path(url), config.rule_tests)))
+
+    reason = F.lit(None).cast("string")
+    for name, cond in reversed(checks):
+        reason = F.when(cond, F.lit(name)).otherwise(reason)
+
+    # P13 — run_url_filters (base.py:618-650): any hit ⇒ excluded from
+    # the frontier, but the URL stays in the seen set as 'valid'.
+    filtered = F.lit(False)
+    for sub in config.ignore_path_substrings:
+        filtered = filtered | U.path(url).contains(sub)
+    if config.ignore_url_regexes:
+        filtered = filtered | _rlike_any(url, config.ignore_url_regexes)
+
+    out = df.withColumn("reject_reason", reason)
+    out = out.withColumn(
+        "verdict",
+        F.when(F.col("reject_reason").isNull(), F.lit("valid")).otherwise(
+            F.lit("rejected")
+        ),
+    )
+    out = out.withColumn(
+        "filtered", F.when(F.col("verdict") == "valid", filtered).otherwise(F.lit(False))
+    )
+    out = out.withColumn("domain", U.netloc(url))
+    out = out.withColumn(
+        "domain_bucket", U.domain_bucket(F.col("domain"), config.n_domain_buckets)
+    )
+    return out.drop("__visited", "__seen")
+
+
+def _small(df: DataFrame) -> bool:
+    """Heuristic broadcast hint for the visited side in tests; AQE makes
+    the real call at runtime from observed sizes."""
+    return False
+
+
+def filter_cardinality(admitted: DataFrame) -> DataFrame:
+    """A10 audit — kept/removed counts per predicate, the per-wave
+    ``filter_cardinality`` lineage column (base.py:631-648)."""
+    return (
+        admitted.groupBy(
+            F.coalesce(
+                F.when(F.col("filtered"), F.lit("ignore_test")),
+                F.col("reject_reason"),
+                F.lit("kept"),
+            ).alias("verdict_reason")
+        )
+        .count()
+        .orderBy("verdict_reason")
+    )

@@ -1,0 +1,200 @@
+"""Deterministic synthetic web graph of interleaved documents.
+
+Emits the FIXTURES.md §1 `documents(doc_id, spans)` shape, modeled on
+the reference's golden pages and e-commerce URL families
+(/root/reference/tests/pages/*.html, tests/utils/test_urls.py:8-21,
+tests/test_spider.py:340-358): home → paginated list pages →
+product detail pages, plus legal/about/wishlist, image links, fragment
+and relative variants, off-domain links, emails, and data: image refs.
+
+Two generators:
+- ``synth_site`` — pure-Python rows (small scale) shared by the Spark
+  engine tests AND the Python oracle, so both crawl the same graph.
+- ``synth_frontier_df`` — Spark-side 10^6..10^8-row frontier built from
+  ``sequence``/``explode`` for throughput benchmarks (the 10^10 design
+  point is exercised via partition math, never materialized locally).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kryptone_spark import schemas
+
+ACCENT_WORDS = ["bébé", "fille", "tee-shirt", "été", "curaçao", "naïve", "prix"]
+PLAIN_WORDS = [
+    "new", "sale", "classic", "cotton", "denim", "summer", "winter",
+    "dress", "shirt", "shoes", "the", "of", "and", "a", "to", "in", "is",
+]
+
+
+def _text(rng: random.Random, n: int) -> str:
+    words = [rng.choice(PLAIN_WORDS + ACCENT_WORDS) for _ in range(n)]
+    return " ".join(words)
+
+
+def synth_site(
+    n_domains: int = 2,
+    n_products: int = 20,
+    page_size: int = 8,
+    seed: int = 42,
+    hot_domain_share: float = 0.0,
+) -> list[dict]:
+    """Returns rows ``{"doc_id": url, "spans": [(kind, text, media_ref,
+    offset), ...]}`` — spans as dicts. Deterministic in ``seed``.
+
+    ``hot_domain_share`` > 0 skews product counts toward domain 0 to
+    exercise salted partitioning / AQE skew handling.
+    """
+    rng = random.Random(seed)
+    rows: list[dict] = []
+    domains = [f"site{chr(ord('a') + i)}.test" for i in range(n_domains)]
+
+    for di, dom in enumerate(domains):
+        if hot_domain_share > 0 and n_domains > 1:
+            if di == 0:
+                np_d = max(1, int(n_products * n_domains * hot_domain_share))
+            else:
+                np_d = max(
+                    1,
+                    int(n_products * n_domains * (1 - hot_domain_share) / (n_domains - 1)),
+                )
+        else:
+            np_d = n_products
+        base = f"http://{dom}"
+        n_pages = (np_d + page_size - 1) // page_size
+
+        def spans_for_home() -> list[dict]:
+            s, off = [], 0
+
+            def add(kind, text="", media_ref=""):
+                nonlocal off
+                s.append({"kind": kind, "text": text, "media_ref": media_ref, "offset": off})
+                off += 1
+
+            add("text", f"Welcome to {dom} — {_text(rng, 12)}")
+            add("link", "all products", "/products?page=1")
+            add("link", "about", f"{base}/about")
+            add("link", "legal", "/legal")
+            add("link", "home again", "/")                      # self link
+            add("link", "fragment nav", f"{base}/products?page=1#top")
+            add("link", "off-domain", "http://othersite.test/promo")
+            add("link", "social", "http://facebook.com/acme")
+            add("image", "logo", f"{base}/img/logo.png")
+            add("image", "inline", "data:image/png;base64,iVBORw0KGgo=")
+            add("email", f"contact@{dom}", "")
+            add("text", _text(rng, 20))
+            return s
+
+        def spans_for_list(page: int) -> list[dict]:
+            s, off = [], 0
+
+            def add(kind, text="", media_ref=""):
+                nonlocal off
+                s.append({"kind": kind, "text": text, "media_ref": media_ref, "offset": off})
+                off += 1
+
+            add("text", f"products page {page} — {_text(rng, 8)}")
+            lo, hi = (page - 1) * page_size, min(page * page_size, np_d)
+            for k in range(lo, hi):
+                add("link", f"product {k}", f"/product-{k}")
+                if k % 3 == 0:
+                    add("image", f"thumb {k}", f"/img/product-{k}.jpg")
+            if page < n_pages:
+                add("link", "next", f"/products?page={page + 1}")
+            if page > 1:
+                add("link", "prev", f"{base}/products?page={page - 1}")
+            add("link", "wishlist", "/customer/wishlist")
+            add("link", "dup products", "/products?page=1")     # duplicate
+            add("link", "empty href", "")
+            add("text", _text(rng, 10))
+            return s
+
+        def spans_for_product(k: int) -> list[dict]:
+            s, off = [], 0
+
+            def add(kind, text="", media_ref=""):
+                nonlocal off
+                s.append({"kind": kind, "text": text, "media_ref": media_ref, "offset": off})
+                off += 1
+
+            add("text", f"Product {k}: {_text(rng, 15)}")
+            add("text", f"prix {rng.randint(1, 99)},{rng.randint(10, 99)} €")
+            add("image", f"photo {k}", f"{base}/img/product-{k}.jpg")
+            add("link", "back home", "/")
+            add("link", "back to list", f"/products?page={k // page_size + 1}")
+            rel = (k + 7) % np_d
+            add("link", f"related {rel}", f"/product-{rel}")
+            add("link", "share", f"{base}/product-{k}#reviews")
+            if k % 5 == 0:
+                add("email", f"support@{dom}", "")
+            add("text", _text(rng, 12))
+            return s
+
+        rows.append({"doc_id": f"{base}/", "spans": spans_for_home()})
+        for page in range(1, n_pages + 1):
+            rows.append({"doc_id": f"{base}/products?page={page}", "spans": spans_for_list(page)})
+        for k in range(np_d):
+            rows.append({"doc_id": f"{base}/product-{k}", "spans": spans_for_product(k)})
+        rows.append(
+            {"doc_id": f"{base}/legal",
+             "spans": [{"kind": "text", "text": "Legal — " + _text(rng, 30), "media_ref": "", "offset": 0},
+                        {"kind": "link", "text": "home", "media_ref": "/", "offset": 1}]}
+        )
+        rows.append(
+            {"doc_id": f"{base}/about",
+             "spans": [{"kind": "text", "text": f"About {dom} — " + _text(rng, 25), "media_ref": "", "offset": 0},
+                        {"kind": "email", "text": f"team@{dom}", "media_ref": "", "offset": 1},
+                        {"kind": "link", "text": "products", "media_ref": "/products?page=1", "offset": 2}]}
+        )
+        rows.append(
+            {"doc_id": f"{base}/customer/wishlist",
+             "spans": [{"kind": "text", "text": "Your wishlist — " + _text(rng, 5), "media_ref": "", "offset": 0},
+                        {"kind": "link", "text": "home", "media_ref": "/", "offset": 1}]}
+        )
+    return rows
+
+
+def site_df(spark: SparkSession, rows: list[dict]) -> DataFrame:
+    """Rows → typed documents DataFrame (schemas.DOCUMENTS)."""
+    data = [
+        (r["doc_id"], [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]])
+        for r in rows
+    ]
+    return spark.createDataFrame(data, schemas.DOCUMENTS)
+
+
+def synth_frontier_df(
+    spark: SparkSession,
+    n_urls: int,
+    n_domains: int = 1000,
+    hot_domain_share: float = 0.8,
+    seed: int = 42,
+) -> DataFrame:
+    """Distributed synthetic frontier for throughput benchmarks: built
+    with sequence/explode entirely JVM-side (no Python in the loop).
+    ``hot_domain_share`` of URLs land on domain 0 (hot-domain skew)."""
+    hot = int(n_urls * hot_domain_share)
+    df = spark.range(n_urls).withColumn(
+        "domain",
+        F.when(
+            F.col("id") < hot, F.lit("site0.test")
+        ).otherwise(
+            F.concat(
+                F.lit("site"),
+                (F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(n_domains - 1)) + 1).cast("string"),
+                F.lit(".test"),
+            )
+        ),
+    )
+    return df.select(
+        F.concat(F.lit("http://"), "domain", F.lit("/product-"), F.col("id").cast("string")).alias("url"),
+        "domain",
+        F.pmod(F.xxhash64("domain"), F.lit(64)).cast("int").alias("domain_bucket"),
+        F.lit(0).alias("depth"),
+        F.lit(0).alias("discovered_wave"),
+        F.lit(0.0).alias("priority"),
+    )

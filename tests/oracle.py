@@ -1,0 +1,166 @@
+"""Pure-Python oracle of the reference crawl loop.
+
+A clean-room reimplementation (no reference code copied) of the
+observable semantics of ``check_urls``/``run_url_filters``/the crawl
+loop (/root/reference/kryptone/base.py:652-774, 1053-1211) under the
+deterministic ordering contract of SURVEY.md §3.4: waves = BFS depths,
+intra-wave order = lexicographic (the reference's own canonical order,
+base.py:577-587, since its ``set.pop`` is arbitrary).
+
+The Spark engine must match this oracle exactly on crawl order, seen
+set, visited set, and extracted span sequences.
+"""
+
+from __future__ import annotations
+
+import pathlib
+import re
+from dataclasses import dataclass, field
+from urllib.parse import unquote, unquote_plus, urljoin, urlparse
+
+from kryptone_spark.config import CrawlConfig
+
+
+def _origin(url: str) -> str:
+    p = urlparse(url)
+    return f"{p.scheme}://{p.netloc}"
+
+
+def _is_image(url: str, exts: tuple[str, ...]) -> bool:
+    # urls.py:241-246, 262-274: suffix of unquote_plus(path-or-raw)
+    p = urlparse(url)
+    base = p.path if p.query != "" else url
+    return pathlib.PurePosixPath(unquote_plus(base)).suffix in exts
+
+
+@dataclass
+class OracleState:
+    seen: set[str] = field(default_factory=set)
+    visited: set[str] = field(default_factory=set)
+    frontier: set[str] = field(default_factory=set)
+    pages_processed: int = 0
+    crawl_order: list[tuple[int, int, str]] = field(default_factory=list)
+    seen_verdicts: dict[str, str] = field(default_factory=dict)
+    reject_reasons: dict[str, str] = field(default_factory=dict)
+
+
+def check_urls(
+    urls: list[str],
+    config: CrawlConfig,
+    state: OracleState,
+    refresh: bool = False,
+) -> set[str]:
+    """Faithful ``check_urls`` (base.py:652-760): returns the valid set
+    and updates the seen set with valid ∪ invalid (P12)."""
+    start = config.start_url
+    start_p = urlparse(start) if start else None
+    raw = set(urls)
+
+    # P1 gather-ignore: pre-resolution, pre-seen (base.py:661-670)
+    if config.gather_ignore_tests:
+        raw = {
+            u for u in raw
+            if not any(re.search(rx, urlparse(u).path) for rx in config.gather_ignore_tests)
+        }
+
+    valid: set[str] = set()
+    invalid: set[str] = set()
+    for u in raw:
+        # P2 urljoin + unquote (base.py:681-683, 611-616)
+        if u.startswith("/"):
+            u = unquote(urljoin(_origin(start), str(u).strip()))
+        p = urlparse(u)
+
+        def reject(reason: str) -> None:
+            invalid.add(u)
+            state.reject_reasons.setdefault(u, reason)
+
+        if refresh and u in state.seen:               # P3
+            reject("refresh_seen")
+            continue
+        if start_p is None or p.netloc != start_p.netloc:  # P4
+            reject("domain")
+            continue
+        if u == "":                                    # P5
+            reject("empty")
+            continue
+        if p.fragment != "" or u.endswith("#"):        # P6
+            reject("fragment")
+            continue
+        if p.path == "/" and start_p.path == "/" and state.pages_processed > 0:  # P7
+            reject("home")
+            continue
+        if config.ignore_images and _is_image(u, config.image_extensions):  # P8
+            reject("image")
+            continue
+        if u in state.visited:                         # P9
+            reject("visited")
+            continue
+        if u in state.seen:                            # P10
+            reject("seen")
+            continue
+        if config.rule_tests and not all(              # P11
+            re.search(rx, p.path) for rx in config.rule_tests
+        ):
+            reject("rule")
+            continue
+        valid.add(u)
+
+    for u in valid:                                    # P12
+        state.seen.add(u)
+        state.seen_verdicts.setdefault(u, "valid")
+    for u in invalid:
+        state.seen.add(u)
+        state.seen_verdicts.setdefault(u, "rejected")
+    return valid
+
+
+def run_url_filters(urls: set[str], config: CrawlConfig) -> set[str]:
+    """P13 (base.py:618-650 + urls.py:509-581): drop on any hit."""
+    kept = set()
+    for u in urls:
+        path = urlparse(u).path
+        hit = any(s in path for s in config.ignore_path_substrings) or any(
+            re.search(rx, u) for rx in config.ignore_url_regexes
+        )
+        if not hit:
+            kept.add(u)
+    return kept
+
+
+def schedule(frontier: set[str], config: CrawlConfig) -> list[str]:
+    """W1 politeness: per-domain lexicographic rank ≤ budget."""
+    by_domain: dict[str, list[str]] = {}
+    for u in sorted(frontier):
+        by_domain.setdefault(urlparse(u).netloc, []).append(u)
+    batch: list[str] = []
+    for dom in by_domain:
+        batch.extend(by_domain[dom][: config.max_per_domain_per_wave])
+    return sorted(batch)
+
+
+def crawl(docs: list[dict], config: CrawlConfig) -> OracleState:
+    """Wave-structured BFS with lexicographic intra-wave order."""
+    pages = {r["doc_id"]: r["spans"] for r in docs}
+    state = OracleState()
+
+    seeds = check_urls(list(dict.fromkeys(config.start_urls)), config, state)
+    state.frontier = run_url_filters(seeds, config)
+
+    wave = 0
+    while state.frontier and wave < config.max_waves:
+        batch = schedule(state.frontier, config)
+        for rank, url in enumerate(batch):
+            state.frontier.discard(url)
+            state.visited.add(url)
+            state.crawl_order.append((wave, rank, url))
+            links = [
+                s["media_ref"]
+                for s in pages.get(url, [])
+                if s["kind"] == "link"
+            ]
+            valid = check_urls(links, config, state)
+            state.frontier |= run_url_filters(valid, config)
+            state.pages_processed += 1
+        wave += 1
+    return state
