@@ -165,9 +165,17 @@ def resolve_relative(url: Column, origin: Column) -> Column:
     path does a direct concat (the synthetic corpus is dot-segment-free
     and tests pin equality with the Python oracle).
     """
-    return F.when(
-        is_relative_path(url), url_unquote(F.concat(origin, F.trim(url)))
-    ).otherwise(url)
+    t = F.trim(url)
+    # network-path references ('//netloc/...'): urljoin keeps the base
+    # scheme; an empty netloc ('//', '///a') keeps the base netloc too.
+    new_netloc = F.regexp_extract(t, r"^//([^/?#]*)", 1)
+    after_netloc = F.regexp_replace(t, r"^//[^/?#]*", "")
+    joined = (
+        F.when(~t.startswith("//"), F.concat(origin, t))
+        .when(new_netloc != "", F.concat(scheme(origin), F.lit(":"), t))
+        .otherwise(F.concat(origin, after_netloc))
+    )
+    return F.when(is_relative_path(url), url_unquote(joined)).otherwise(url)
 
 
 def decompose_path(url: Column) -> Column:

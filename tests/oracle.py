@@ -21,14 +21,23 @@ from urllib.parse import unquote, unquote_plus, urljoin, urlparse
 from kryptone_spark.config import CrawlConfig
 
 
+def safe_parse(url: str):
+    """URL.__init__ catches ValueError (invalid bracketed IPv6 hosts on
+    py3.11+) and keeps an empty parse (urls.py:89-96)."""
+    try:
+        return urlparse(url)
+    except ValueError:
+        return urlparse("")
+
+
 def _origin(url: str) -> str:
-    p = urlparse(url)
+    p = safe_parse(url)
     return f"{p.scheme}://{p.netloc}"
 
 
 def _is_image(url: str, exts: tuple[str, ...]) -> bool:
     # urls.py:241-246, 262-274: suffix of unquote_plus(path-or-raw)
-    p = urlparse(url)
+    p = safe_parse(url)
     base = p.path if p.query != "" else url
     return pathlib.PurePosixPath(unquote_plus(base)).suffix in exts
 
@@ -53,14 +62,14 @@ def check_urls(
     """Faithful ``check_urls`` (base.py:652-760): returns the valid set
     and updates the seen set with valid ∪ invalid (P12)."""
     start = config.start_url
-    start_p = urlparse(start) if start else None
+    start_p = safe_parse(start) if start else None
     raw = set(urls)
 
     # P1 gather-ignore: pre-resolution, pre-seen (base.py:661-670)
     if config.gather_ignore_tests:
         raw = {
             u for u in raw
-            if not any(re.search(rx, urlparse(u).path) for rx in config.gather_ignore_tests)
+            if not any(re.search(rx, safe_parse(u).path) for rx in config.gather_ignore_tests)
         }
 
     valid: set[str] = set()
@@ -69,7 +78,7 @@ def check_urls(
         # P2 urljoin + unquote (base.py:681-683, 611-616)
         if u.startswith("/"):
             u = unquote(urljoin(_origin(start), str(u).strip()))
-        p = urlparse(u)
+        p = safe_parse(u)
 
         def reject(reason: str) -> None:
             invalid.add(u)
@@ -119,7 +128,7 @@ def run_url_filters(urls: set[str], config: CrawlConfig) -> set[str]:
     """P13 (base.py:618-650 + urls.py:509-581): drop on any hit."""
     kept = set()
     for u in urls:
-        path = urlparse(u).path
+        path = safe_parse(u).path
         hit = any(s in path for s in config.ignore_path_substrings) or any(
             re.search(rx, u) for rx in config.ignore_url_regexes
         )
@@ -132,7 +141,7 @@ def schedule(frontier: set[str], config: CrawlConfig) -> list[str]:
     """W1 politeness: per-domain lexicographic rank ≤ budget."""
     by_domain: dict[str, list[str]] = {}
     for u in sorted(frontier):
-        by_domain.setdefault(urlparse(u).netloc, []).append(u)
+        by_domain.setdefault(safe_parse(u).netloc, []).append(u)
     batch: list[str] = []
     for dom in by_domain:
         batch.extend(by_domain[dom][: config.max_per_domain_per_wave])
