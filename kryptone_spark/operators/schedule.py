@@ -1,0 +1,110 @@
+"""Politeness scheduling (W1) + robots enforcement (J6) + skew salting (W4).
+
+The reference sleeps ``WAIT_TIME`` (default 25 s) between page visits of
+its single domain (/root/reference/kryptone/conf/base.py:28-36, applied
+base.py:1185-1194). The engine never sleeps: each wave ranks the pending
+frontier per domain and *assigns* ``fetch_at`` timestamps spaced by the
+domain's crawl delay — the politeness queue becomes a window function.
+
+Robots enforcement is a new capability (the reference has none — no
+robots handling anywhere in its tree): a broadcast join against the
+small ``robots(domain, disallow, crawl_delay)`` dim, path-prefix match
+against disallow rules, crawl-delay override of the global wait time.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from kryptone_spark.config import CrawlConfig
+from kryptone_spark.functions import urls as U
+
+EPOCH = datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc)
+
+
+def with_robots(pending: DataFrame, robots: DataFrame | None, config: CrawlConfig) -> DataFrame:
+    """Adds ``robots_blocked`` + effective ``crawl_delay`` columns.
+    Robots is a per-domain dim — small by construction — so this is a
+    broadcast hash join: no shuffle of the (huge) pending side."""
+    if robots is None:
+        return pending.withColumn("robots_blocked", F.lit(False)).withColumn(
+            "crawl_delay", F.lit(float(config.wait_time))
+        )
+    r = robots.select(
+        "domain",
+        F.col("disallow").alias("__disallow"),
+        F.col("crawl_delay").alias("__rdelay"),
+    )
+    out = pending.join(F.broadcast(r), "domain", "left")
+    blocked = F.exists(
+        F.coalesce(F.col("__disallow"), F.array().cast("array<string>")),
+        lambda d: U.path(F.col("url")).startswith(d),
+    )
+    return (
+        out.withColumn("robots_blocked", F.coalesce(blocked, F.lit(False)))
+        .withColumn(
+            "crawl_delay", F.coalesce(F.col("__rdelay"), F.lit(float(config.wait_time)))
+        )
+        .drop("__disallow", "__rdelay")
+    )
+
+
+def politeness_schedule(
+    pending: DataFrame,
+    config: CrawlConfig,
+    wave: int,
+    robots: DataFrame | None = None,
+    wave_start_offset: float = 0.0,
+) -> tuple[DataFrame, DataFrame]:
+    """Rank pending URLs per domain and take each domain's budget.
+
+    Returns ``(batch, blocked)``:
+    - batch: (url, domain, domain_bucket, depth, rank_in_domain,
+      rank_in_wave, fetch_at, wave) — ≤ max_per_domain_per_wave rows per
+      domain, ordered by (priority, url) — the lexicographic contract.
+    - blocked: robots-disallowed rows (removed from the crawl, recorded
+      so the frontier anti-join retires them).
+
+    The window partitions by *true* domain. At scale the frontier is
+    stored bucketed by ``domain_bucket`` (W4 salting), so this shuffle
+    moves only the wave's pending slice, and AQE splits any hot-domain
+    partition (skew-join handling is on in session.py).
+    """
+    pending = with_robots(pending, robots, config)
+    blocked = pending.where(F.col("robots_blocked")).drop(
+        "robots_blocked", "crawl_delay"
+    )
+    ok = pending.where(~F.col("robots_blocked"))
+
+    w_dom = Window.partitionBy("domain").orderBy("priority", "url")
+    ranked = ok.withColumn("rank_in_domain", F.row_number().over(w_dom))
+    batch = ranked.where(F.col("rank_in_domain") <= config.max_per_domain_per_wave)
+
+    # deterministic virtual schedule: wave_start + (rank-1) * delay
+    batch = batch.withColumn(
+        "fetch_at",
+        F.timestamp_seconds(
+            F.lit(EPOCH.timestamp() + wave_start_offset)
+            + (F.col("rank_in_domain") - 1) * F.col("crawl_delay")
+        ),
+    )
+    # rank_in_wave: the oracle's global lexicographic processing order.
+    w_wave = Window.orderBy("url")
+    batch = (
+        batch.withColumn("rank_in_wave", F.row_number().over(w_wave) - 1)
+        .withColumn("wave", F.lit(wave))
+        .drop("robots_blocked")
+    )
+    return batch, blocked
+
+
+def wave_duration(batch: DataFrame) -> float:
+    """Virtual seconds the wave occupies: max over domains of
+    budget-spaced fetch ends — feeds the next wave's start offset."""
+    row = batch.agg(
+        F.max(F.col("rank_in_domain") * F.col("crawl_delay")).alias("d")
+    ).collect()[0]
+    return float(row["d"] or 0.0)

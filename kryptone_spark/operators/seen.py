@@ -1,0 +1,177 @@
+"""URL-seen set at scale: bloom prefilter + exact anti-join authority.
+
+The reference holds ``list_of_seen_urls`` as an in-memory Python set
+(/root/reference/kryptone/base.py:292-295) — O(RAM), single process.
+The engine's seen set is a bucket-partitioned table; membership tests
+are anti-joins. To keep the per-wave anti-join small at 10^10 URLs, a
+per-``domain_bucket`` bloom sidecar answers "definitely new" without
+touching the table; only maybe-seen candidates reach the exact join.
+False positives are harmless (they fall through to the exact join);
+false negatives are impossible (tests pin this property).
+
+Layout: one bloom per domain_bucket, built executor-side with
+``applyInPandas`` over JVM-computed xxhash64 columns (no Python object
+hashing), OR-able across waves for incremental maintenance. At sandbox
+scale the sidecar is broadcast as a dict; at 10^10 the same rows live
+in a sidecar table bucket-joined against candidates (documented seam —
+the probe code is identical either way).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kryptone_spark.config import CrawlConfig
+from kryptone_spark.functions import urls as U
+from kryptone_spark.operators import admission
+
+_SIDECAR_SCHEMA = T.StructType(
+    [
+        T.StructField("domain_bucket", T.IntegerType(), False),
+        T.StructField("m", T.LongType(), False),
+        T.StructField("k", T.IntegerType(), False),
+        T.StructField("bits", T.BinaryType(), False),
+    ]
+)
+
+
+def _positions(h1: np.ndarray, h2: np.ndarray, k: int, m: int) -> np.ndarray:
+    """Kirsch-Mitzenmacher double hashing: pos_i = (h1 + i*h2) mod m."""
+    i = np.arange(k, dtype=np.uint64)[:, None]
+    return (h1[None, :] + i * h2[None, :]) % np.uint64(m)
+
+
+def build_bloom_sidecar(
+    seen: DataFrame,
+    config: CrawlConfig,
+    bits_per_key: int = 12,
+    k: int = 7,
+    min_bits: int = 1 << 12,
+) -> list[dict]:
+    """One bloom per domain_bucket. Hashing happens JVM-side
+    (xxhash64 with two seeds); the pandas stage only sets bits."""
+    hashed = seen.select(
+        U.domain_bucket(U.netloc(F.col("url")), config.n_domain_buckets).alias(
+            "domain_bucket"
+        ),
+        F.xxhash64("url", F.lit(1)).alias("h1"),
+        F.xxhash64("url", F.lit(2)).alias("h2"),
+    )
+
+    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = max(min_bits, int(len(pdf) * bits_per_key))
+        m = 8 * ((m + 7) // 8)
+        bits = np.zeros(m // 8, dtype=np.uint8)
+        h1 = pdf["h1"].to_numpy().astype(np.uint64)
+        h2 = pdf["h2"].to_numpy().astype(np.uint64) | np.uint64(1)
+        pos = _positions(h1, h2, k, m).ravel()
+        np.bitwise_or.at(bits, (pos // 8).astype(np.int64), (1 << (pos % 8)).astype(np.uint8))
+        return pd.DataFrame(
+            {
+                "domain_bucket": [int(pdf["domain_bucket"].iloc[0])],
+                "m": [m],
+                "k": [k],
+                "bits": [bits.tobytes()],
+            }
+        )
+
+    rows = (
+        hashed.groupBy("domain_bucket")
+        .applyInPandas(_build, schema=_SIDECAR_SCHEMA)
+        .collect()
+    )
+    return [r.asDict() for r in rows]
+
+
+def probe_bloom(
+    candidates: DataFrame,
+    sidecar: list[dict],
+    config: CrawlConfig,
+    url_col: str = "url",
+) -> DataFrame:
+    """Adds ``might_seen``: False ⇒ definitely not in seen."""
+    spark = candidates.sparkSession
+    blooms = {
+        int(r["domain_bucket"]): (
+            np.frombuffer(r["bits"], dtype=np.uint8),
+            int(r["m"]),
+            int(r["k"]),
+        )
+        for r in sidecar
+    }
+    bc = spark.sparkContext.broadcast(blooms)
+
+    @F.pandas_udf(T.BooleanType())
+    def _probe(bucket: pd.Series, h1: pd.Series, h2: pd.Series) -> pd.Series:
+        table = bc.value
+        out = np.zeros(len(bucket), dtype=bool)
+        b = bucket.to_numpy()
+        a1 = h1.to_numpy().astype(np.uint64)
+        a2 = h2.to_numpy().astype(np.uint64) | np.uint64(1)
+        for bk in np.unique(b):
+            entry = table.get(int(bk))
+            idx = np.where(b == bk)[0]
+            if entry is None:
+                continue  # no bloom for bucket ⇒ definitely new
+            bits, m, k = entry
+            pos = _positions(a1[idx], a2[idx], k, m)
+            hit = np.ones(len(idx), dtype=bool)
+            for i in range(k):
+                p = pos[i]
+                hit &= (bits[(p // 8).astype(np.int64)] >> (p % 8).astype(np.uint8)) & 1 == 1
+            out[idx] = hit
+        return pd.Series(out)
+
+    resolved = U.resolve_relative(
+        F.col(url_col),
+        F.lit(_origin_lit(config)),
+    )
+    return candidates.withColumn(
+        "might_seen",
+        _probe(
+            U.domain_bucket(U.netloc(resolved), config.n_domain_buckets),
+            F.xxhash64(resolved, F.lit(1)),
+            F.xxhash64(resolved, F.lit(2)),
+        ),
+    )
+
+
+def _origin_lit(config: CrawlConfig) -> str:
+    import urllib.parse as up
+
+    if config.start_url is None:
+        return ""
+    p = up.urlparse(config.start_url)
+    return f"{p.scheme}://{p.netloc}"
+
+
+def bloom_prefilter(
+    links: DataFrame,
+    seen_urls: DataFrame,
+    config: CrawlConfig,
+    visited: DataFrame | None = None,
+    allow_home: bool | str = False,
+) -> DataFrame:
+    """Admission with bloom-prefiltered membership joins: candidates the
+    bloom clears ("definitely new") skip the seen/visited joins entirely
+    (visited ⊆ seen, so clearing seen clears visited too). Identical
+    output to plain ``admission.admit`` — tests pin equality."""
+    sidecar = build_bloom_sidecar(seen_urls, config)
+    probed = probe_bloom(links, sidecar, config)
+    maybe = probed.where(F.col("might_seen")).drop("might_seen")
+    fresh = probed.where(~F.col("might_seen")).drop("might_seen")
+    a_maybe = admission.admit(
+        maybe, config, seen=seen_urls,
+        visited=visited.select("url") if visited is not None else None,
+        allow_home=allow_home,
+    )
+    a_fresh = admission.admit(
+        fresh, config, seen=None, visited=None, allow_home=allow_home
+    )
+    return a_maybe.unionByName(a_fresh)

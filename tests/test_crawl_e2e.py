@@ -1,0 +1,178 @@
+"""End-to-end wave crawl vs the Python oracle on the synthetic site:
+crawl order, seen set (with verdicts), visited set — exact equality.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kryptone_spark.config import CrawlConfig
+from kryptone_spark.plans.tableio import TableIO
+from kryptone_spark.plans.waves import WaveRunner
+from kryptone_spark.synth import site_df, synth_site
+from tests import oracle
+
+
+@pytest.fixture(scope="module")
+def site():
+    return synth_site(n_domains=2, n_products=20, page_size=8, seed=42)
+
+
+def run_engine(spark, site, config, tmpdir, use_bloom=False, max_waves=None):
+    io = TableIO(spark, str(tmpdir))
+    runner = WaveRunner(
+        spark, config, site_df(spark, site), io, use_bloom=use_bloom
+    )
+    result = runner.run(max_waves=max_waves)
+    return io, result
+
+
+def assert_parity(io, state):
+    fb = io.read("fetch_batches")
+    engine_order = [
+        (r["wave"], r["rank_in_wave"], r["url"])
+        for r in fb.orderBy("wave", "rank_in_wave").collect()
+    ]
+    assert engine_order == state.crawl_order
+
+    visited = {r["url"] for r in io.read("visited").collect()}
+    assert visited == state.visited
+
+    seen_rows = io.read("seen").collect()
+    engine_seen = {}
+    for r in sorted(seen_rows, key=lambda r: r["first_wave"]):
+        engine_seen.setdefault(r["url"], r["verdict"])
+    assert set(engine_seen) == state.seen
+    for u, v in engine_seen.items():
+        assert state.seen_verdicts[u] == v, u
+
+
+def test_crawl_matches_oracle(spark, site, tmp_path):
+    config = CrawlConfig(start_urls=["http://sitea.test/"], ignore_images=True)
+    state = oracle.crawl(site, config)
+    assert len(state.visited) > 10  # sanity: crawl actually expands
+    io, result = run_engine(spark, site, config, tmp_path / "a")
+    assert_parity(io, state)
+    assert result.total_fetched == len(state.visited)
+
+
+def test_crawl_with_filters_matches_oracle(spark, site, tmp_path):
+    config = CrawlConfig(
+        start_urls=["http://sitea.test/"],
+        ignore_images=True,
+        gather_ignore_tests=[r"/customer/"],
+        ignore_path_substrings=["/legal"],
+    )
+    state = oracle.crawl(site, config)
+    io, _ = run_engine(spark, site, config, tmp_path / "b")
+    assert_parity(io, state)
+    assert all("/customer/" not in u for u in state.visited)
+    assert all("/legal" not in u for u in state.visited)
+
+
+def test_crawl_with_politeness_budget(spark, site, tmp_path):
+    """Budget defers URLs to later waves; sets must still converge."""
+    config = CrawlConfig(
+        start_urls=["http://sitea.test/"],
+        ignore_images=True,
+        max_per_domain_per_wave=3,
+        max_waves=40,
+    )
+    state = oracle.crawl(site, config)
+    io, _ = run_engine(spark, site, config, tmp_path / "c")
+    assert_parity(io, state)
+    # politeness: fetch_at spacing within a domain == wait_time
+    fb = io.read("fetch_batches").orderBy("wave", "rank_in_domain").collect()
+    by_wave = {}
+    for r in fb:
+        by_wave.setdefault(r["wave"], []).append(r)
+    for wave, rows in by_wave.items():
+        assert len(rows) <= 3
+        times = [r["fetch_at"].timestamp() for r in rows]
+        for a, b in zip(times, times[1:]):
+            assert b - a == pytest.approx(config.wait_time)
+
+
+def test_bloom_path_identical(spark, site, tmp_path):
+    config = CrawlConfig(start_urls=["http://sitea.test/"], ignore_images=True)
+    io_a, _ = run_engine(spark, site, config, tmp_path / "plain")
+    io_b, _ = run_engine(spark, site, config, tmp_path / "bloom", use_bloom=True)
+    for t in ("fetch_batches", "visited"):
+        a = {tuple(r) for r in io_a.read(t).select("wave", "url").collect()}
+        b = {tuple(r) for r in io_b.read(t).select("wave", "url").collect()}
+        assert a == b, t
+    a = {tuple(r) for r in io_a.read("seen").select("url", "verdict", "first_wave").collect()}
+    b = {tuple(r) for r in io_b.read("seen").select("url", "verdict", "first_wave").collect()}
+    assert a == b
+
+
+def test_resume_mid_crawl(spark, site, tmp_path):
+    """Kill after wave 1, resume → identical final state to a full run."""
+    config = CrawlConfig(start_urls=["http://sitea.test/"], ignore_images=True)
+    io_full, _ = run_engine(spark, site, config, tmp_path / "full")
+
+    io = TableIO(spark, str(tmp_path / "partial"))
+    runner = WaveRunner(spark, config, site_df(spark, site), io)
+    partial = runner.run(max_waves=2)
+    assert len(partial.waves) == 2
+    # simulate a torn wave-2 commit: seen/frontier written, lineage not
+    frontier2 = io.read_wave("frontier", 2)
+    io.write_wave("frontier", frontier2.limit(1), 3)
+
+    runner2 = WaveRunner(spark, config, site_df(spark, site), io)
+    runner2.resume()
+
+    state = oracle.crawl(site, config)
+    assert_parity(io, state)
+    full_order = [
+        tuple(r) for r in io_full.read("fetch_batches")
+        .select("wave", "rank_in_wave", "url").orderBy("wave", "rank_in_wave").collect()
+    ]
+    res_order = [
+        tuple(r) for r in io.read("fetch_batches")
+        .select("wave", "rank_in_wave", "url").orderBy("wave", "rank_in_wave").collect()
+    ]
+    assert full_order == res_order
+
+
+def test_multi_domain_seed_crawls_last_seed_domain(spark, tmp_path):
+    """start_url = last seed (base.py:1048-1049): only siteb is crawled;
+    sitea seed is rejected-but-seen on 'domain'."""
+    site = synth_site(n_domains=2, n_products=6, page_size=4, seed=7)
+    config = CrawlConfig(
+        start_urls=["http://sitea.test/", "http://siteb.test/"],
+        ignore_images=True,
+    )
+    state = oracle.crawl(site, config)
+    io, _ = run_engine(spark, site, config, tmp_path / "m")
+    assert_parity(io, state)
+    assert all(u.startswith("http://siteb.test") for u in state.visited)
+    assert state.seen_verdicts["http://sitea.test/"] == "rejected"
+
+
+def test_robots_enforcement(spark, site, tmp_path):
+    """Robots disallow removes matching URLs from the crawl; crawl_delay
+    overrides the politeness spacing (new capability, J6)."""
+    from kryptone_spark import schemas
+
+    config = CrawlConfig(
+        start_urls=["http://sitea.test/"], ignore_images=True,
+        max_per_domain_per_wave=4,
+    )
+    robots = spark.createDataFrame(
+        [("sitea.test", ["/legal", "/customer/"], 2.0)], schemas.ROBOTS
+    )
+    io = TableIO(spark, str(tmp_path / "r"))
+    runner = WaveRunner(spark, config, site_df(spark, site), io, robots=robots)
+    runner.run()
+    visited = {r["url"] for r in io.read("visited").collect()}
+    assert visited, "crawl ran"
+    assert all("/legal" not in u and "/customer/" not in u for u in visited)
+    blocked = {r["url"] for r in io.read("robots_blocked").collect()}
+    assert any("/legal" in u for u in blocked)
+    fb = io.read("fetch_batches").orderBy("wave", "rank_in_domain").collect()
+    waves = {}
+    for r in fb:
+        waves.setdefault(r["wave"], []).append(r["fetch_at"].timestamp())
+    for ts in waves.values():
+        for a, b in zip(ts, ts[1:]):
+            assert b - a == pytest.approx(2.0)
