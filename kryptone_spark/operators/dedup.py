@@ -1,0 +1,173 @@
+"""Deduplication operators for large-scale text corpora.
+
+Engine-only capability (the reference dedups URLs, never content) —
+first-class for a training-data pipeline. All hashing uses md5 hex
+(identical across Spark and DuckDB) so every operator has an exact SQL
+oracle; the scale-path notes say what changes at 100 TB.
+
+Operators:
+- exact_dedup        — normalized-text hash groups (hash-groupBy)
+- minhash_signatures — k-permutation MinHash over distinct tokens
+- minhash_lsh_pairs  — banded LSH candidate pairs (band → bucket join)
+- ngram_jaccard_pairs— exact n-gram Jaccard via common-shingle join
+- simhash64          — 64-bit SimHash from per-token md5 bits
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# fixed salts keep signatures deterministic and SQL-reproducible
+MINHASH_K = 8
+LSH_BANDS = 4  # rows-per-band = MINHASH_K / LSH_BANDS = 2
+
+
+def normalized_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, tok) distinct — lowercase, alnum-only, space-split.
+    The shared tokenizer for every dedup op (identical SQL form:
+    regexp_replace(lower(text),'[^a-z0-9 ]',' ','g') then split)."""
+    toks = F.split(
+        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", " "), " +"
+    )
+    return (
+        df.select("doc_id", F.explode(toks).alias("tok"))
+        .where(F.col("tok") != "")
+        .distinct()
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups on whitespace-normalized text. Scale: one
+    shuffle on a 32-hex key; at 100 TB this is the cheapest possible
+    full-corpus op (map-side partial agg, no row wider than the hash)."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    return (
+        df.select("doc_id", F.md5(norm).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.count("*").alias("group_size"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .where(F.col("group_size") > 1)
+    )
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text", k: int = MINHASH_K) -> DataFrame:
+    """MinHash: sig_i = min over tokens of md5(tok || '#i'). One wide
+    groupBy; hex-string min == numeric min (fixed 32-char strings).
+    Scale: k mins computed in one partial-aggregated pass; signature is
+    k*32 bytes/doc regardless of doc length."""
+    toks = normalized_tokens(df, text_col)
+    aggs = [
+        F.min(F.md5(F.concat(F.col("tok"), F.lit(f"#{i}")))).alias(f"sig{i}")
+        for i in range(k)
+    ]
+    return toks.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, text_col: str = "text", k: int = MINHASH_K, bands: int = LSH_BANDS
+) -> DataFrame:
+    """Banded LSH: docs sharing any band bucket become candidate pairs.
+    Scale: the band→bucket groupBy-join touches only signatures (never
+    text); hot buckets (boilerplate) are the skew risk — AQE skew-join
+    plus an optional bucket-size cap handle it."""
+    sigs = minhash_signatures(df, text_col, k)
+    rows_per_band = k // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"sig{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *parts)).alias("bucket"))
+        )
+    banded = sigs.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = banded.alias("a")
+    b_ = banded.alias("b")
+    return (
+        a.join(b_, ["band", "bucket"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str = "text", n: int = 2, min_jaccard: float = 0.3
+) -> DataFrame:
+    """Exact Jaccard over word n-grams via the common-shingle join:
+    |A∩B| from a self-join on shingle, |A|,|B| from per-doc counts.
+    Scale: the shingle self-join is the classic quadratic risk —
+    bounded by dropping ultra-frequent shingles (df > threshold would
+    be added at 100 TB) and by LSH prefiltering (minhash_lsh_pairs)."""
+    toks = normalized_tokens(df, text_col).groupBy("doc_id").agg(
+        F.array_sort(F.collect_list("tok")).alias("toks")
+    )
+    # n-grams over the doc's sorted distinct tokens — deterministic and
+    # SQL-reproducible (set semantics, not positional shingles)
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size("toks") - n, F.lit(0))),
+                lambda i: F.array_join(F.slice(F.col("toks"), i + 1, n), " "),
+            )
+        ).alias("gram"),
+    ).where(F.length("gram") > 0).distinct()
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    a, b = grams.alias("a"), grams.alias("b")
+    inter = (
+        a.join(b, "gram")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("ga"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("gb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.round(
+                F.col("n_common") / (F.col("ga") + F.col("gb") - F.col("n_common")), 6
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= min_jaccard)
+    )
+
+
+def simhash64(df: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
+    """SimHash: per-token md5 → first `bits` bits; signature bit j set
+    iff Σ_tokens (±1 for bit j) > 0. Exploding bit positions keeps it
+    SQL-reproducible; the 100 TB path replaces the explode with a
+    vectorized pandas UDF doing the same popcount math in numpy."""
+    toks = normalized_tokens(df, text_col).withColumn(
+        "h",
+        F.conv(F.substring(F.md5(F.col("tok")), 1, bits // 4), 16, 10).cast("long"),
+    )
+    pos = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j")
+    contrib = toks.select(
+        "doc_id",
+        pos,
+        F.col("h"),
+    ).select(
+        "doc_id", "j",
+        F.when(F.expr("shiftright(h, cast(j as int)) & 1") == 1, 1)
+        .otherwise(-1)
+        .alias("c"),
+    )
+    return (
+        contrib.groupBy("doc_id", "j")
+        .agg(F.sum("c").alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), cast(j as int))")).otherwise(0)
+            ).alias("simhash")
+        )
+    )

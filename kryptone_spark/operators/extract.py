@@ -1,0 +1,133 @@
+"""Span extractors over interleaved documents (S7-S9, F7, A3-A9).
+
+The reference extracts per page with browser JS + BeautifulSoup
+(/root/reference/kryptone/base.py:473-503, contrib/seo.py:232-243,
+utils/iterators.py:113-195); here every extractor is a whole-table
+DataFrame op over ``documents(doc_id, spans)``. Span order (``offset``)
+is the per-row invariant the driver checks (BASELINE.json input_hint).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from kryptone_spark.functions import text as TXT
+
+
+def spans_table(documents: DataFrame) -> DataFrame:
+    """Flattened spans preserving document order — the golden
+    ``spans.csv`` shape (doc_id, offset, kind, text, media_ref)."""
+    return documents.select(
+        "doc_id", F.explode("spans").alias("s")
+    ).select(
+        "doc_id",
+        F.col("s.offset").alias("offset"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+    )
+
+
+def page_links(documents: DataFrame) -> DataFrame:
+    """S7 collect_page_urls: hrefs in document order."""
+    return spans_table(documents).where(F.col("kind") == "link").select(
+        F.col("doc_id").alias("src_url"), F.col("media_ref").alias("url"), "offset"
+    )
+
+
+def page_images(documents: DataFrame) -> DataFrame:
+    """S8 PageImagesIterator: (alt, src) pairs; base64 data-URIs dropped
+    (iterators.py:144-145)."""
+    return (
+        spans_table(documents)
+        .where(F.col("kind") == "image")
+        .where(~F.col("media_ref").startswith("data:"))
+        .select(
+            F.col("doc_id").alias("page_url"),
+            F.col("text").alias("alt"),
+            F.col("media_ref").alias("src"),
+            "offset",
+        )
+    )
+
+
+def page_text(documents: DataFrame) -> DataFrame:
+    """S9 get_page_text: text spans joined in document order."""
+    return documents.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.filter(F.col("spans"), lambda s: s["kind"] == F.lit("text")),
+                    lambda a, b: F.when(a["offset"] < b["offset"], -1)
+                    .when(a["offset"] > b["offset"], 1)
+                    .otherwise(0),
+                ),
+                lambda s: s["text"],
+            ),
+            " ",
+        ).alias("text"),
+    )
+
+
+def page_emails(documents: DataFrame) -> DataFrame:
+    """F7/A9 EmailMixin: emails from text spans (token scan) ∪ email
+    spans, distinct per page (seo.py:587-643)."""
+    from_text = (
+        page_text(documents)
+        .select("doc_id", F.explode(TXT.extract_emails(F.col("text"))).alias("email"))
+    )
+    from_spans = (
+        spans_table(documents)
+        .where(F.col("kind") == "email")
+        .where(~F.col("text").startswith("@"))
+        .select("doc_id", F.col("text").alias("email"))
+    )
+    return from_text.unionByName(from_spans).distinct()
+
+
+def word_frequency(documents: DataFrame, per_page: bool = False, top_k: int | None = None) -> DataFrame:
+    """A4/A5 — token frequencies (site-wide or per page), optional W2
+    top-k via a rank window."""
+    toks = page_text(documents).select(
+        "doc_id", F.explode(TXT.tokenize(F.col("text"))).alias("word")
+    ).where(F.col("word") != "")
+    keys = ["doc_id", "word"] if per_page else ["word"]
+    counts = toks.groupBy(*keys).agg(F.count("*").alias("freq"))
+    if top_k is not None:
+        part = Window.partitionBy("doc_id") if per_page else Window.partitionBy()
+        w = part.orderBy(F.desc("freq"), F.asc("word"))
+        counts = counts.withColumn("rank", F.row_number().over(w)).where(
+            F.col("rank") <= top_k
+        )
+    return counts
+
+
+def tf_idf(documents: DataFrame) -> DataFrame:
+    """A6-A8 — TF-IDF per (doc, term) from first principles:
+    tf = n/Σn per doc, idf = ln(N / (1+df)) (seo.py:56-102's formula),
+    all partial-aggregated by Catalyst — no ML pipeline needed."""
+    toks = page_text(documents).select(
+        "doc_id", F.explode(TXT.tokenize(F.col("text"))).alias("term")
+    ).where(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("n"))
+    tf = tf.withColumn(
+        "tf", F.col("n") / F.sum("n").over(Window.partitionBy("doc_id"))
+    )
+    n_docs = documents.select(F.countDistinct("doc_id").alias("nd"))
+    df_ = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = df_.crossJoin(F.broadcast(n_docs)).select(
+        "term", F.log(F.col("nd") / (1 + F.col("df"))).alias("idf")
+    )
+    return tf.join(idf, "term").select(
+        "doc_id", "term", F.round(F.col("tf") * F.col("idf"), 8).alias("tfidf")
+    )
+
+
+def url_distribution(edges: DataFrame) -> DataFrame:
+    """A3 url_distribution (base.py:312,502): page → out-links."""
+    return edges.groupBy("src_url").agg(
+        F.sort_array(F.collect_list("dst_url")).alias("out_links"),
+        F.count("*").alias("n_links"),
+    )

@@ -1,0 +1,164 @@
+"""Multimodal columns: opaque binary media + typed metadata.
+
+Images/audio/video travel as ``binary`` columns with struct metadata;
+decode/feature-extraction runs in Arrow-batched ``mapInPandas`` so the
+Spark-side plumbing (schema, partitioning, batch shape) is real and
+tested even though actual codecs (PIL/ffmpeg) are NOT in this
+container — the decode step is a clearly-marked deterministic stub
+behind an import-try (per round instructions).
+
+Wire format of the deterministic fake media used by tests/synth:
+``b"FAKEIMG!" + width:uint16 + height:uint16 + payload`` (and FAKEAUD!
+with sample_rate:uint32 + n_samples:uint32).
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),   # image|audio|video
+        T.StructField("data", T.BinaryType(), True),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_samples", T.IntegerType(), True),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("ok", T.BooleanType(), False),
+    ]
+)
+
+
+def make_fake_image(width: int, height: int, payload: bytes = b"") -> bytes:
+    return b"FAKEIMG!" + struct.pack("<HH", width, height) + payload
+
+
+def make_fake_audio(sample_rate: int, n_samples: int) -> bytes:
+    return b"FAKEAUD!" + struct.pack("<II", sample_rate, n_samples)
+
+
+def _decode_real(data: bytes):  # pragma: no cover - no codecs in sandbox
+    """Real decode path: used automatically when PIL is importable."""
+    try:
+        from io import BytesIO
+
+        from PIL import Image
+    except ImportError as e:
+        raise NotImplementedError(
+            "real image decode needs PIL, not present in this container"
+        ) from e
+    img = Image.open(BytesIO(data))
+    return img.size
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """Decode headers (stub codecs) via mapInPandas — Arrow batches in,
+    Arrow batches out; the exact shape a real decoder plugs into."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "width": pd.array([None] * len(pdf), dtype="Int32"),
+                "height": pd.array([None] * len(pdf), dtype="Int32"),
+                "sample_rate": pd.array([None] * len(pdf), dtype="Int32"),
+                "n_samples": pd.array([None] * len(pdf), dtype="Int32"),
+                "n_bytes": pdf["data"].map(lambda b: 0 if b is None else len(b)),
+                "ok": pd.array([False] * len(pdf), dtype="bool"),
+            }
+            res = pd.DataFrame(out)
+            for i, b in enumerate(pdf["data"]):
+                if b is None:
+                    continue
+                if bytes(b[:8]) == b"FAKEIMG!":
+                    w, h = struct.unpack("<HH", bytes(b[8:12]))
+                    res.loc[i, ["width", "height", "ok"]] = [w, h, True]
+                elif bytes(b[:8]) == b"FAKEAUD!":
+                    sr, ns = struct.unpack("<II", bytes(b[8:16]))
+                    res.loc[i, ["sample_rate", "n_samples", "ok"]] = [sr, ns, True]
+            yield res
+
+    return media.mapInPandas(_decode, schema=DECODED_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("data", T.BinaryType(), False),
+    ]
+)
+
+
+def resize_images(media: DataFrame, max_side: int = 64) -> DataFrame:
+    """Aspect-preserving resize. Stub: rewrites the fake header with the
+    clamped dimensions (a real implementation swaps in PIL.thumbnail
+    inside the same mapInPandas body)."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                b = r["data"]
+                if b is None or bytes(b[:8]) != b"FAKEIMG!":
+                    continue
+                w, h = struct.unpack("<HH", bytes(b[8:12]))
+                scale = min(1.0, max_side / max(w, h, 1))
+                nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+                rows.append(
+                    {
+                        "media_id": r["media_id"],
+                        "width": nw,
+                        "height": nh,
+                        "data": make_fake_image(nw, nh),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "width", "height", "data"])
+
+    return media.where("kind = 'image'").mapInPandas(_resize, schema=RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("ts_ms", T.IntegerType(), False),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame sampling plan for video rows: emits (frame_idx, ts_ms) from
+    the metadata duration — the UDTF shape (1 row in → N rows out) that
+    a real ffmpeg-backed sampler fills with pixel data."""
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                meta = r["meta"] or {}
+                dur = int(meta.get("duration_ms", "0"))
+                for i, ts in enumerate(range(0, dur, every_ms)):
+                    rows.append(
+                        {"media_id": r["media_id"], "frame_idx": i, "ts_ms": ts}
+                    )
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "ts_ms"])
+
+    return media.where("kind = 'video'").mapInPandas(_sample, schema=FRAMES_SCHEMA)

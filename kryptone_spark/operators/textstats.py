@@ -1,0 +1,76 @@
+"""Text analysis for training-data pipelines: language ID, quality
+scoring, token counting, fingerprinting. All pure-column (scan-speed);
+each has an exact DuckDB oracle in __spark_entry__.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kryptone_spark.functions import text as TXT
+
+# tiny per-language stopword lists for the n-gram/stopword heuristic;
+# chosen to discriminate the synthetic corpus's 5 langs
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is", "with"),
+    "es": ("el", "la", "de", "es", "con"),
+    "fr": ("le", "la", "et", "est", "avec"),
+    "de": ("der", "die", "und", "ist", "mit"),
+    "zh": ("的", "是", "和", "在", "了"),
+}
+
+
+def _tok(text_col):
+    return F.split(
+        F.regexp_replace(F.lower(text_col), "[^a-z0-9一-鿿 ]", " "), " +"
+    )
+
+
+def lang_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-language marker-hit counts + argmax prediction. At 100 TB
+    this is one pass of array intersects inside codegen."""
+    toks = _tok(F.col(text_col))
+    out = df
+    score_cols = []
+    for lang, markers in LANG_MARKERS.items():
+        c = F.size(
+            F.filter(toks, lambda t: t.isin(*markers))
+        ).alias(f"score_{lang}")
+        score_cols.append((lang, c))
+        out = out.withColumn(f"score_{lang}", c)
+    pred = None
+    best = None
+    for lang, _ in score_cols:
+        col = F.col(f"score_{lang}")
+        if pred is None:
+            pred, best = F.lit(lang), col
+        else:
+            pred = F.when(col > best, F.lit(lang)).otherwise(pred)
+            best = F.greatest(best, col)
+    return out.withColumn("lang_pred", pred)
+
+
+def quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("quality", TXT.quality_score(F.col(text_col)))
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace tokens + a BPE-ish subword proxy (alnum runs and
+    punctuation counted separately — deterministic, SQL-equivalent)."""
+    ws = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    bpe_ish = F.size(
+        F.filter(
+            F.split(F.regexp_replace(F.col(text_col), r"([^A-Za-z0-9\s])", " $1 "), r"\s+"),
+            lambda t: t != "",
+        )
+    )
+    return df.withColumn("n_ws_tokens", ws).withColumn("n_bpe_tokens", bpe_ish)
+
+
+def fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """md5 + xxhash64 content fingerprints over normalized text."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    return df.withColumn("fp_md5", F.md5(norm)).withColumn(
+        "fp_xx64", F.xxhash64(norm)
+    )

