@@ -1,38 +1,872 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship frontier-pop→fetch-batch pipeline over
+sf0.001. ``queries()`` — one entry per implemented operator family from
+SURVEY.md §2 (+ the training-data ops). ``oracle_sql()`` — exact DuckDB
+equivalents; every hash-sensitive column is aliased identically and
+floats are computed with the same fold order / rounding in both
+engines. Spark-only entries (crawl wave loop, mapInPandas multimodal
+plumbing, approx sketches) intentionally omit the oracle → rows-only.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _urls_from_orders(orders: DataFrame) -> DataFrame:
+    """Deterministic URL corpus synthesized from the orders table —
+    identical string arithmetic exists in URLS_CTE below so Spark and
+    DuckDB operate on the same inputs."""
+    k = F.col("o_orderkey")
+    dom = F.concat(F.lit("site"), (F.col("o_custkey") % 7).cast("string"), F.lit(".test"))
+    branch = k % 10
+    suffix = (
+        F.when(branch == 0, F.concat(F.lit("/img/photo-"), k.cast("string"), F.lit(".jpg")))
+        .when(branch == 1, F.concat(F.lit("/product-"), k.cast("string"), F.lit("#reviews")))
+        .when(branch == 2, F.concat(F.lit("/products?page="), (k % 50).cast("string")))
+        .otherwise(F.concat(F.lit("/product-"), k.cast("string")))
+    )
+    url = F.when(
+        branch == 3,
+        F.concat(F.lit("http://offsite.example/item-"), k.cast("string")),
+    ).otherwise(F.concat(F.lit("https://"), dom, suffix))
+    return orders.select(
+        F.col("o_orderkey").alias("k"), url.alias("url")
+    )
+
+
+URLS_CTE = """
+urls AS (
+  SELECT o_orderkey AS k,
+         (o_custkey % 7) AS dn,
+         CASE WHEN o_orderkey % 10 = 3
+              THEN 'http://offsite.example/item-' || o_orderkey
+              ELSE 'https://site' || (o_custkey % 7) || '.test' ||
+                   CASE o_orderkey % 10
+                     WHEN 0 THEN '/img/photo-' || o_orderkey || '.jpg'
+                     WHEN 1 THEN '/product-' || o_orderkey || '#reviews'
+                     WHEN 2 THEN '/products?page=' || (o_orderkey % 50)
+                     ELSE '/product-' || o_orderkey
+                   END
+         END AS url
+  FROM orders
+)
+"""
+
+# shared tokenizer CTE for the text/dedup oracles (mirrors
+# kryptone_spark.operators.dedup.normalized_tokens)
+TOKS_CTE = """
+toks AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +')) AS tok
+    FROM documents
+  ) WHERE tok <> ''
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: synthesize a frontier from sf0.001 orders, run the
+    stateless admission predicates, politeness-schedule fetch batches
+    (rank ≤ 8 per domain, 25 s spacing)."""
+    return _fetch_batch_pipeline(spark, "/root/testdata/sf0.001")
+
+
+def _fetch_batch_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kryptone_spark.functions import urls as U
+
+    urls = _urls_from_orders(_load(spark, sf_dir, "orders"))
+    host = U.host(F.col("url"))
+    kept = urls.where(
+        ~U.has_fragment(F.col("url"))
+        & ~U.is_image(F.col("url"), (".jpg",))
+        & (host != "offsite.example")
+    ).select("url", host.alias("domain"))
+    w = Window.partitionBy("domain").orderBy("url")
+    return (
+        kept.withColumn("rank_in_domain", F.row_number().over(w))
+        .where(F.col("rank_in_domain") <= 8)
+        .withColumn("fetch_at_s", ((F.col("rank_in_domain") - 1) * 25.0))
+        .orderBy("domain", "rank_in_domain")
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q_url_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parser (F8/F9 family) against reconstructed components."""
+    from kryptone_spark.functions import urls as U
+
+    urls = _urls_from_orders(_load(spark, sf_dir, "orders"))
+    c = F.col("url")
+    return urls.select(
+        "k", "url",
+        U.host(c).alias("host"),
+        U.path(c).alias("path"),
+        U.query(c).alias("query"),
+        U.fragment(c).alias("fragment"),
+        U.is_secured(c).alias("is_secured"),
+    )
+
+
+def q_url_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4/P6/P8 stateless admission verdicts via the real admission
+    pipeline, audited (A10)."""
+    from kryptone_spark.config import CrawlConfig
+    from kryptone_spark.operators import admission
+
+    urls = _urls_from_orders(_load(spark, sf_dir, "orders")).select("url")
+    config = CrawlConfig(
+        start_urls=["https://site0.test/"],
+        ignore_images=True,
+        image_extensions=(".jpg",),
+    )
+    out = admission.admit(urls, config, allow_home=False)
+    return (
+        out.groupBy(F.coalesce(F.col("reject_reason"), F.lit("kept")).alias("reason"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 politeness window: per-domain rank + virtual fetch offsets."""
+    return _fetch_batch_pipeline(spark, sf_dir)
+
+
+def q_seen_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 seen anti-join at query granularity."""
+    urls = _urls_from_orders(_load(spark, sf_dir, "orders"))
+    frontier = urls.where(F.col("k") % 10 >= 4).select("url")
+    seen = urls.where(F.col("k") % 2 == 0).select("url")
+    from kryptone_spark.functions import urls as U
+
+    return (
+        frontier.join(seen, "url", "left_anti")
+        .groupBy(U.host(F.col("url")).alias("domain"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_url_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4/S6 URL generators: sweep ?page=1..10 per region seed."""
+    region = _load(spark, sf_dir, "region")
+    return region.select(
+        F.explode(F.sequence(F.lit(1), F.lit(10))).alias("page"),
+        F.col("r_regionkey").alias("rk"),
+    ).select(
+        "rk", "page",
+        F.concat(
+            F.lit("https://shop"), F.col("rk").cast("string"),
+            F.lit(".test/list?page="), F.col("page").cast("string"),
+        ).alias("url"),
+    )
+
+
+def q_url_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9 decompose_path: segment count + first segment."""
+    from kryptone_spark.functions import urls as U
+
+    urls = _urls_from_orders(_load(spark, sf_dir, "orders"))
+    segs = U.decompose_path(F.col("url"))
+    return urls.select(
+        "k",
+        F.size(segs).alias("n_segments"),
+        F.element_at(segs, 1).alias("seg1"),
+    )
+
+
+def q_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-family flagship agg (TPC-H Q1 shape) with exact decimal sums."""
+    li = _load(spark, sf_dir, "lineitem")
+    d = lambda c: F.col(c).cast("decimal(18,2)")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(d("l_quantity")).cast("double"), 2).alias("sum_qty"),
+            F.round(F.sum(d("l_extendedprice")).cast("double"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(
+                    (d("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - d("l_discount")))
+                ).cast("double"), 2,
+            ).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-family join + W2 top-k: top 10 orders by exact revenue."""
+    li = _load(spark, sf_dir, "lineitem")
+    orders = _load(spark, sf_dir, "orders")
+    rev = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+        ).alias("rev_d")
+    )
+    w = Window.orderBy(F.desc("rev_d"), F.asc("o_orderkey"))
+    return (
+        rev.join(orders, rev["l_orderkey"] == orders["o_orderkey"])
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 10)
+        .select(
+            "o_orderkey", "o_orderpriority",
+            F.round(F.col("rev_d").cast("double"), 2).alias("revenue"),
+            F.col("rnk").alias("rnk"),
+        )
+    )
+
+
+def q_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+def q_events_topk_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 top-k per key: top 3 events by value per user."""
+    ev = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("user_id", "event_id", F.round("value", 2).alias("value"), "rnk")
+    )
+
+
+def q_customer_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3/J semi join: customers with orders, per nation."""
+    c = _load(spark, sf_dir, "customer")
+    o = _load(spark, sf_dir, "orders")
+    return (
+        c.join(o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_semi")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_part_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 anti join: parts never shipped."""
+    p = _load(spark, sf_dir, "part")
+    li = _load(spark, sf_dir, "lineitem")
+    return (
+        p.join(li.select(F.col("l_partkey").alias("p_partkey")), "p_partkey", "left_anti")
+        .select("p_partkey", "p_brand")
+    )
+
+
+def q_user_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1-T3 set algebra on user populations."""
+    ev = _load(spark, sf_dir, "events")
+    buyers = ev.where(F.col("event_type") == "purchase").select("user_id").distinct()
+    errs = ev.where(F.col("event_type") == "error").select("user_id").distinct()
+    return spark.createDataFrame(
+        [], "op string, n long"
+    ).unionByName(
+        buyers.intersect(errs).agg(F.lit("intersect").alias("op"), F.count("*").alias("n"))
+    ).unionByName(
+        buyers.exceptAll(errs).agg(F.lit("except").alias("op"), F.count("*").alias("n"))
+    ).unionByName(
+        buyers.union(errs).distinct().agg(F.lit("union").alias("op"), F.count("*").alias("n"))
+    )
+
+
+def q_scalar_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-F5 scalar text functions over part names."""
+    from kryptone_spark.functions import text as TXT
+
+    p = _load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower(F.regexp_replace(F.col("p_name"), " ", "-")).alias("slug"),
+        TXT.normalize_spaces(F.col("p_name")).alias("clean"),
+        F.length("p_name").alias("n_chars"),
+        TXT.parse_price(
+            F.concat(F.floor("p_retailprice").cast("string"), F.lit("€"), F.lit("50"))
+        ).alias("price"),
+    )
+
+
+def q_orders_by_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11 date functions: weekday (Mon=0) / month histogram."""
+    from kryptone_spark.functions import dates as D
+
+    o = _load(spark, sf_dir, "orders")
+    return o.groupBy(
+        D.weekday(F.col("o_orderdate")).alias("wd"),
+        D.month(F.col("o_orderdate")).alias("mo"),
+    ).agg(F.count("*").alias("n"))
+
+
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12 JSON access: props.k aggregated per type."""
+    ev = _load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"), F.max(k).alias("max_k")
+    )
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-shaped windowed agg (batch form): events per hour.
+    The identical plan runs under readStream + watermark (see
+    kryptone_spark/streaming)."""
+    ev = _load(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch")
+    ).agg(F.count("*").alias("n"), F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2).alias("sum_value"))
+
+
+def q_docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kryptone_spark.operators import dedup
+
+    return dedup.exact_dedup(_load(spark, sf_dir, "documents"))
+
+
+def q_docs_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kryptone_spark.operators import dedup
+
+    return dedup.minhash_signatures(_load(spark, sf_dir, "documents"))
+
+
+def q_docs_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kryptone_spark.operators import dedup
+
+    return dedup.minhash_lsh_pairs(_load(spark, sf_dir, "documents"))
+
+
+def q_docs_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kryptone_spark.operators import dedup
+
+    return dedup.ngram_jaccard_pairs(
+        _load(spark, sf_dir, "documents"), n=1, min_jaccard=0.9
+    )
+
+
+def q_docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kryptone_spark.operators import dedup
+
+    return dedup.simhash64(_load(spark, sf_dir, "documents"), bits=16)
+
+
+def q_docs_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kryptone_spark.operators import textstats
+
+    docs = _load(spark, sf_dir, "documents")
+    return textstats.lang_scores(docs).select(
+        "doc_id", "lang", "lang_pred",
+        "score_en", "score_es", "score_fr", "score_de", "score_zh",
+    )
+
+
+def q_docs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kryptone_spark.operators import textstats
+
+    return textstats.quality(_load(spark, sf_dir, "documents")).select("doc_id", "quality")
+
+
+def q_docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kryptone_spark.operators import textstats
+
+    return textstats.token_stats(_load(spark, sf_dir, "documents")).select(
+        "doc_id", "n_ws_tokens", "n_bpe_tokens"
+    )
+
+
+def q_docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kryptone_spark.operators import textstats
+
+    return textstats.fingerprints(_load(spark, sf_dir, "documents")).select(
+        "doc_id", "fp_md5"
+    )
+
+
+def q_docs_wordfreq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/A5/W2 word frequency over the flat documents table."""
+    docs = _load(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.split(F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " "), " +")
+        ).alias("word")
+    ).where(F.col("word") != "")
+    counts = toks.groupBy("word").agg(F.count("*").alias("freq"))
+    w = Window.orderBy(F.desc("freq"), F.asc("word"))
+    return counts.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= 20)
+
+
+def q_docs_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6-A8 TF-IDF over the flat documents table (top term per doc)."""
+    docs = _load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " "), " +")
+        ).alias("term"),
+    ).where(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("n"))
+    tf = tf.withColumn("tf", F.col("n") / F.sum("n").over(Window.partitionBy("doc_id")))
+    nd = docs.select(F.countDistinct("doc_id").alias("nd"))
+    dfq = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = dfq.crossJoin(F.broadcast(nd)).select(
+        "term", F.log(F.col("nd") / (1 + F.col("df"))).alias("idf")
+    )
+    scored = tf.join(idf, "term").select(
+        "doc_id", "term", F.round(F.col("tf") * F.col("idf"), 8).alias("tfidf")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return scored.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") == 1).drop("rnk")
+
+
+def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN baseline: exact cosine top-5 for query vectors 0..2."""
+    from kryptone_spark.operators import simsearch
+
+    emb = _load(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.expr("transform(embedding, x -> cast(x as double))")
+    )
+    queries = emb.where("vec_id < 3").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return simsearch.brute_force_topk(emb, queries, k=5)
+
+
+def q_emb_label_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector math JVM-side: mean L2 norm per label."""
+    from kryptone_spark.operators.simsearch import _norm
+
+    emb = _load(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.expr("transform(embedding, x -> cast(x as double))")
+    )
+    return emb.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg(_norm(F.col("embedding"))), 6).alias("avg_norm"),
+    )
+
+
+# ---- Spark-only (no SQL oracle → rows-only check) -------------------------
+
+def q_crawl_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full wave-loop crawl of the synthetic interleaved-document site
+    (the BASELINE.json north capability). Not SQL-expressible (iterative
+    frontier feedback); correctness is pinned by tests/test_crawl_e2e.py
+    against the Python oracle."""
+    import tempfile
+
+    from kryptone_spark.config import CrawlConfig
+    from kryptone_spark.plans.tableio import TableIO
+    from kryptone_spark.plans.waves import WaveRunner
+    from kryptone_spark.synth import site_df, synth_site
+
+    site = synth_site(n_domains=1, n_products=8, page_size=4, seed=42)
+    config = CrawlConfig(start_urls=["http://sitea.test/"], ignore_images=True)
+    io = TableIO(spark, tempfile.mkdtemp(prefix="kryptone_flagship_"))
+    WaveRunner(spark, config, site_df(spark, site), io).run()
+    return io.read("fetch_batches").select(
+        "wave", "rank_in_wave", "url"
+    ).orderBy("wave", "rank_in_wave")
+
+
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary media → mapInPandas header decode.
+    Deterministic fake codec (real codecs absent in this container)."""
+    from kryptone_spark.operators import multimodal
+
+    rows = []
+    for i in range(64):
+        if i % 3 == 0:
+            rows.append((f"img{i}", "image", multimodal.make_fake_image(100 + i, 50 + i), {}))
+        elif i % 3 == 1:
+            rows.append((f"aud{i}", "audio", multimodal.make_fake_audio(8000 + i, 1000 * i), {}))
+        else:
+            rows.append((f"vid{i}", "video", None, {"duration_ms": str(500 * i)}))
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    return multimodal.decode_media(media).orderBy("media_id")
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 approx_count_distinct (sketch — engine-specific estimate)."""
+    ev = _load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "url_parts": q_url_parts,
+        "url_admission": q_url_admission,
+        "frontier_schedule": q_frontier_schedule,
+        "seen_antijoin": q_seen_antijoin,
+        "url_pagination": q_url_pagination,
+        "url_decompose": q_url_decompose,
+        "lineitem_pricing": q_lineitem_pricing,
+        "top_revenue_orders": q_top_revenue_orders,
+        "events_by_type": q_events_by_type,
+        "events_topk_per_user": q_events_topk_per_user,
+        "customer_semi_join": q_customer_semi_join,
+        "part_anti_join": q_part_anti_join,
+        "user_set_ops": q_user_set_ops,
+        "scalar_text": q_scalar_text,
+        "orders_by_weekday": q_orders_by_weekday,
+        "events_json": q_events_json,
+        "events_hourly": q_events_hourly,
+        "docs_exact_dedup": q_docs_exact_dedup,
+        "docs_minhash": q_docs_minhash,
+        "docs_lsh_pairs": q_docs_lsh_pairs,
+        "docs_jaccard": q_docs_jaccard,
+        "docs_simhash": q_docs_simhash,
+        "docs_langid": q_docs_langid,
+        "docs_quality": q_docs_quality,
+        "docs_token_stats": q_docs_token_stats,
+        "docs_fingerprint": q_docs_fingerprint,
+        "docs_wordfreq_topk": q_docs_wordfreq_topk,
+        "docs_tfidf": q_docs_tfidf,
+        "emb_cosine_topk": q_emb_cosine_topk,
+        "emb_label_norms": q_emb_label_norms,
+        "crawl_flagship": q_crawl_flagship,
+        "media_decode": q_media_decode,
+        "approx_distinct": q_approx_distinct,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_SIG_COLS = ", ".join(
+    f"min(md5(tok || '#{i}')) AS sig{i}" for i in range(8)
+)
+
+_BANDS_SQL = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, md5(sig{2*b} || '|' || sig{2*b+1}) AS bucket FROM sigs"
+    for b in range(4)
+)
+
+_HEXVAL = (
+    "((strpos('0123456789abcdef', substr(h16,1,1))-1)*4096 + "
+    "(strpos('0123456789abcdef', substr(h16,2,1))-1)*256 + "
+    "(strpos('0123456789abcdef', substr(h16,3,1))-1)*16 + "
+    "(strpos('0123456789abcdef', substr(h16,4,1))-1))"
+)
+
+_LANG_SCORE = {
+    "en": "('the','and','of','is','with')",
+    "es": "('el','la','de','es','con')",
+    "fr": "('le','la','et','est','avec')",
+    "de": "('der','die','und','ist','mit')",
+    "zh": "('的','是','和','在','了')",
+}
+
+_LANG_COLS = ", ".join(
+    f"len(list_filter(string_split_regex(regexp_replace(lower(text),'[^a-z0-9一-鿿 ]',' ','g'), ' +'), t -> t IN {m}))::INTEGER AS score_{l}"
+    for l, m in _LANG_SCORE.items()
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "url_parts": f"""
+            WITH {URLS_CTE.strip()}
+            SELECT k, url,
+                   CASE WHEN k % 10 = 3 THEN 'offsite.example'
+                        ELSE 'site' || dn || '.test'
+                   END AS host,
+                   CASE k % 10
+                     WHEN 0 THEN '/img/photo-' || k || '.jpg'
+                     WHEN 1 THEN '/product-' || k
+                     WHEN 2 THEN '/products'
+                     WHEN 3 THEN '/item-' || k
+                     ELSE '/product-' || k
+                   END AS path,
+                   CASE WHEN k % 10 = 2 THEN 'page=' || (k % 50) ELSE '' END AS query,
+                   CASE WHEN k % 10 = 1 THEN 'reviews' ELSE '' END AS fragment,
+                   (k % 10 <> 3) AS is_secured
+            FROM urls
+        """,
+        "url_admission": f"""
+            WITH {URLS_CTE.strip()},
+            verdicts AS (
+              SELECT CASE
+                WHEN NOT (url LIKE 'https://site0.test/%') THEN 'domain'
+                WHEN contains(url, '#') THEN 'fragment'
+                WHEN url LIKE '%.jpg' THEN 'image'
+                ELSE 'kept' END AS reason
+              FROM urls)
+            SELECT reason, count(*) AS n FROM verdicts GROUP BY reason
+        """,
+        "frontier_schedule": f"""
+            WITH {URLS_CTE.strip()},
+            kept AS (
+              SELECT url, 'site' || dn || '.test' AS domain
+              FROM urls
+              WHERE k % 10 NOT IN (0, 1, 3)),
+            ranked AS (
+              SELECT url, domain,
+                     row_number() OVER (PARTITION BY domain ORDER BY url)::INTEGER AS rank_in_domain
+              FROM kept)
+            SELECT url, domain, rank_in_domain,
+                   (rank_in_domain - 1) * 25.0 AS fetch_at_s
+            FROM ranked WHERE rank_in_domain <= 8
+        """,
+        "seen_antijoin": f"""
+            WITH {URLS_CTE.strip()},
+            frontier AS (SELECT url, dn FROM urls WHERE k % 10 >= 4),
+            seen AS (SELECT url FROM urls WHERE k % 2 = 0)
+            SELECT 'site' || dn || '.test' AS domain,
+                   count(*) AS n
+            FROM frontier
+            WHERE NOT EXISTS (SELECT 1 FROM seen WHERE seen.url = frontier.url)
+            GROUP BY domain
+        """,
+        "url_pagination": """
+            SELECT r_regionkey AS rk, page::INTEGER AS page,
+                   'https://shop' || r_regionkey || '.test/list?page=' || page AS url
+            FROM region CROSS JOIN (SELECT unnest(generate_series(1, 10)) AS page)
+        """,
+        "url_decompose": f"""
+            WITH {URLS_CTE.strip()}
+            SELECT k,
+                   (CASE WHEN k % 10 = 0 THEN 2 ELSE 1 END)::INTEGER AS n_segments,
+                   CASE k % 10
+                     WHEN 0 THEN 'img'
+                     WHEN 2 THEN 'products'
+                     WHEN 3 THEN 'item-' || k
+                     ELSE 'product-' || k
+                   END AS seg1
+            FROM urls
+        """,
+        "lineitem_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity::DECIMAL(18,2))::DOUBLE, 2) AS sum_qty,
+                   round(sum(l_extendedprice::DECIMAL(18,2))::DOUBLE, 2) AS sum_base_price,
+                   round(sum(l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DOUBLE, 2) AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_revenue_orders": """
+            WITH rev AS (
+              SELECT l_orderkey,
+                     sum(l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2))) AS rev_d
+              FROM lineitem GROUP BY l_orderkey)
+            SELECT o_orderkey, o_orderpriority,
+                   round(rev_d::DOUBLE, 2) AS revenue,
+                   row_number() OVER (ORDER BY rev_d DESC, o_orderkey)::INTEGER AS rnk
+            FROM rev JOIN orders ON l_orderkey = o_orderkey
+            QUALIFY rnk <= 10
+        """,
+        "events_by_type": """
+            SELECT event_type, count(*) AS n,
+                   round(avg(value), 4) AS avg_value,
+                   count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type
+        """,
+        "events_topk_per_user": """
+            SELECT user_id, event_id, round(value, 2) AS value,
+                   row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id)::INTEGER AS rnk
+            FROM events QUALIFY rnk <= 3
+        """,
+        "customer_semi_join": """
+            SELECT c_nationkey, count(*) AS n
+            FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            GROUP BY c_nationkey
+        """,
+        "part_anti_join": """
+            SELECT p_partkey, p_brand FROM part
+            WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+        """,
+        "user_set_ops": """
+            WITH buyers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+                 errs   AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+            SELECT 'intersect' AS op, count(*) AS n FROM (SELECT user_id FROM buyers INTERSECT SELECT user_id FROM errs)
+            UNION ALL
+            SELECT 'except', count(*) FROM (SELECT user_id FROM buyers EXCEPT SELECT user_id FROM errs)
+            UNION ALL
+            SELECT 'union', count(*) FROM (SELECT user_id FROM buyers UNION SELECT user_id FROM errs)
+        """,
+        "scalar_text": """
+            SELECT p_partkey,
+                   lower(replace(p_name, ' ', '-')) AS slug,
+                   trim(regexp_replace(p_name, ' +', ' ', 'g')) AS clean,
+                   length(p_name)::INTEGER AS n_chars,
+                   (floor(p_retailprice)::BIGINT || '.' || '50')::DOUBLE AS price
+            FROM part
+        """,
+        "orders_by_weekday": """
+            SELECT (isodow(o_orderdate) - 1)::INTEGER AS wd,
+                   month(o_orderdate)::INTEGER AS mo,
+                   count(*) AS n
+            FROM orders GROUP BY wd, mo
+        """,
+        "events_json": """
+            SELECT event_type,
+                   cast(sum(json_extract_string(props, '$.k')::BIGINT) AS BIGINT) AS sum_k,
+                   max(json_extract_string(props, '$.k')::BIGINT) AS max_k
+            FROM events GROUP BY event_type
+        """,
+        "events_hourly": """
+            SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch,
+                   count(*) AS n,
+                   round(sum(value::DECIMAL(18,2))::DOUBLE, 2) AS sum_value
+            FROM events GROUP BY hour_epoch
+        """,
+        "docs_exact_dedup": """
+            SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS text_hash,
+                   count(*) AS group_size,
+                   min(doc_id) AS keep_doc_id
+            FROM documents
+            GROUP BY text_hash HAVING count(*) > 1
+        """,
+        "docs_minhash": f"""
+            WITH {TOKS_CTE.strip()}
+            SELECT doc_id, {_SIG_COLS} FROM toks GROUP BY doc_id
+        """,
+        "docs_lsh_pairs": f"""
+            WITH {TOKS_CTE.strip()},
+            sigs AS (SELECT doc_id, {_SIG_COLS} FROM toks GROUP BY doc_id),
+            bands AS ({_BANDS_SQL})
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
+            FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+            GROUP BY doc_a, doc_b
+        """,
+        "docs_jaccard": f"""
+            WITH {TOKS_CTE.strip()},
+            sizes AS (SELECT doc_id, count(*) AS ng FROM toks GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+              FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+              GROUP BY doc_a, doc_b)
+            SELECT doc_a, doc_b,
+                   round(c / (sa.ng + sb.ng - c), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE round(c / (sa.ng + sb.ng - c), 6) >= 0.9
+        """,
+        "docs_simhash": f"""
+            WITH {TOKS_CTE.strip()},
+            th AS (SELECT doc_id, {_HEXVAL} AS h
+                   FROM (SELECT doc_id, substr(md5(tok), 1, 4) AS h16 FROM toks)),
+            contrib AS (
+              SELECT doc_id, j, CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END AS c
+              FROM th CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j)),
+            bitsum AS (SELECT doc_id, j, sum(c) AS s FROM contrib GROUP BY doc_id, j)
+            SELECT doc_id,
+                   cast(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
+            FROM bitsum GROUP BY doc_id
+        """,
+        "docs_langid": f"""
+            WITH scored AS (
+              SELECT doc_id, lang, text, {_LANG_COLS} FROM documents)
+            SELECT doc_id, lang,
+                   CASE
+                     WHEN score_zh > greatest(score_en, score_es, score_fr, score_de) THEN 'zh'
+                     WHEN score_de > greatest(score_en, score_es, score_fr) THEN 'de'
+                     WHEN score_fr > greatest(score_en, score_es) THEN 'fr'
+                     WHEN score_es > score_en THEN 'es'
+                     ELSE 'en'
+                   END AS lang_pred,
+                   score_en, score_es, score_fr, score_de, score_zh
+            FROM scored
+        """,
+        "docs_quality": """
+            WITH q AS (
+              SELECT doc_id,
+                     length(text) AS nc,
+                     len(string_split_regex(lower(text), '\\s+')) AS nt,
+                     len(list_filter(string_split_regex(lower(text), '\\s+'),
+                         t -> t IN ('the','of','and','a','to','in','is','it','you','that','was','for','on','are','as','with','his','they','at'))) AS sw,
+                     length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS np
+              FROM documents)
+            SELECT doc_id,
+                   round(0.4 * least(nc / 500.0, 1.0)
+                       + 0.4 * least((CASE WHEN nt > 0 THEN sw::DOUBLE / nt ELSE 0 END) * 4.0, 1.0)
+                       + 0.2 * (1.0 - least((np::DOUBLE / greatest(nc, 1)) * 5.0, 1.0)), 6) AS quality
+            FROM q
+        """,
+        "docs_token_stats": """
+            SELECT doc_id,
+                   len(string_split_regex(trim(text), '\\s+'))::INTEGER AS n_ws_tokens,
+                   len(list_filter(
+                       string_split_regex(regexp_replace(text, '([^A-Za-z0-9\\s])', ' \\1 ', 'g'), '\\s+'),
+                       t -> t <> ''))::INTEGER AS n_bpe_tokens
+            FROM documents
+        """,
+        "docs_fingerprint": """
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp_md5
+            FROM documents
+        """,
+        "docs_wordfreq_topk": """
+            WITH t AS (
+              SELECT unnest(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +')) AS word
+              FROM documents),
+            c AS (SELECT word, count(*) AS freq FROM t WHERE word <> '' GROUP BY word)
+            SELECT word, freq, row_number() OVER (ORDER BY freq DESC, word)::INTEGER AS rnk
+            FROM c QUALIFY rnk <= 20
+        """,
+        "docs_tfidf": """
+            WITH t AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +')) AS term
+              FROM documents),
+            t2 AS (SELECT doc_id, term FROM t WHERE term <> ''),
+            tf AS (SELECT doc_id, term, count(*) AS n FROM t2 GROUP BY doc_id, term),
+            tf2 AS (SELECT doc_id, term, n / sum(n) OVER (PARTITION BY doc_id) AS tf FROM tf),
+            nd AS (SELECT count(DISTINCT doc_id) AS nd FROM documents),
+            dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM t2 GROUP BY term),
+            idf AS (SELECT term, ln(nd.nd / (1 + df)) AS idf FROM dfq CROSS JOIN nd),
+            scored AS (
+              SELECT doc_id, tf2.term AS term, round(tf * idf, 8) AS tfidf,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY round(tf * idf, 8) DESC, tf2.term)::INTEGER AS rnk
+              FROM tf2 JOIN idf ON tf2.term = idf.term)
+            SELECT doc_id, term, tfidf FROM scored WHERE rnk = 1
+        """,
+        "emb_cosine_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 3),
+            s AS (
+              SELECT q.query_id, e.vec_id AS neighbor_id,
+                     round(list_dot_product(e.embedding::DOUBLE[], q.qv)
+                           / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                              * sqrt(list_dot_product(q.qv, q.qv))), 6) AS sim
+              FROM embeddings e CROSS JOIN q)
+            SELECT query_id, neighbor_id, sim,
+                   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id)::INTEGER AS rank
+            FROM s QUALIFY rank <= 5
+        """,
+        "emb_label_norms": """
+            SELECT label, count(*) AS n,
+                   round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS avg_norm
+            FROM embeddings GROUP BY label
+        """,
+    }
