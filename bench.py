@@ -1,0 +1,166 @@
+#!/usr/bin/env python
+"""Benchmark harness — one JSON line on stdout.
+
+Headline: the north metric's frontier-pop→fetch-batch pipeline
+(politeness window + admission + seen anti-join) over a synthetic
+frontier sized 10M × sf URLs, plus the relational/training-data
+operator suite over $SPARK_GRAFT_SF_DIR.
+
+Env:
+  SPARK_GRAFT_SF_DIR   parquet dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[] parallelism (default 32)
+  BENCH_FRONTIER_N     override frontier row count
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+from pyspark.sql import SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def get_spark(cpus: int) -> SparkSession:
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("kryptone-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def bench_frontier_schedule(spark, n_urls: int) -> dict:
+    """North metric: frontier-pop → fetch-batch. 1000-domain synthetic
+    frontier with 80% hot-domain skew; politeness budget 1000/domain."""
+    from kryptone_spark.operators import schedule
+    from kryptone_spark.config import CrawlConfig
+    from kryptone_spark.synth import synth_frontier_df
+
+    config = CrawlConfig(max_per_domain_per_wave=1000, wait_time=0.01)
+    frontier = synth_frontier_df(spark, n_urls, n_domains=1000, hot_domain_share=0.8)
+    frontier = frontier.localCheckpoint()  # isolate generation cost
+    t = time.time()
+    batch, _ = schedule.politeness_schedule(frontier, config, wave=0)
+    n = batch.count()
+    dt = time.time() - t
+    return {"sec": dt, "rows": n, "urls_per_sec": n_urls / dt}
+
+
+def bench_admission(spark, n_urls: int) -> dict:
+    """Stateless admission predicates over synthetic links."""
+    from kryptone_spark.config import CrawlConfig
+    from kryptone_spark.operators import admission
+
+    config = CrawlConfig(
+        start_urls=["http://site0.test/"], ignore_images=True,
+        gather_ignore_tests=[r"/customer/"], rule_tests=[],
+    )
+    links = spark.range(n_urls).select(
+        F.concat(
+            F.lit("http://site"),
+            (F.col("id") % 5).cast("string"),
+            F.lit(".test/product-"),
+            F.col("id").cast("string"),
+            F.when(F.col("id") % 11 == 0, F.lit("#frag")).otherwise(F.lit("")),
+        ).alias("url")
+    ).localCheckpoint()
+    t = time.time()
+    out = admission.admit(links, config, allow_home=False)
+    n = out.where(F.col("verdict") == "valid").count()
+    dt = time.time() - t
+    return {"sec": dt, "rows": n, "urls_per_sec": n_urls / dt}
+
+
+def bench_seen_antijoin(spark, n_urls: int) -> dict:
+    """Candidate vs seen anti-join, the per-wave hot join."""
+    mk = lambda lo, hi: spark.range(lo, hi).select(
+        F.concat(F.lit("http://site0.test/p-"), F.col("id").cast("string")).alias("url")
+    )
+    cand = mk(0, n_urls).localCheckpoint()
+    seen = mk(0, int(n_urls * 0.7)).localCheckpoint()
+    t = time.time()
+    n = cand.join(seen, "url", "left_anti").count()
+    dt = time.time() - t
+    return {"sec": dt, "rows": n, "urls_per_sec": n_urls / dt}
+
+
+def bench_crawl_loop(spark) -> dict:
+    """Full wave loop on the synthetic interleaved-document site."""
+    import tempfile
+
+    from kryptone_spark.config import CrawlConfig
+    from kryptone_spark.plans.tableio import TableIO
+    from kryptone_spark.plans.waves import WaveRunner
+    from kryptone_spark.synth import site_df, synth_site
+
+    site = synth_site(n_domains=1, n_products=40, page_size=10, seed=42)
+    docs = site_df(spark, site).localCheckpoint()
+    config = CrawlConfig(start_urls=["http://sitea.test/"], ignore_images=True)
+    t = time.time()
+    io = TableIO(spark, tempfile.mkdtemp(prefix="bench_crawl_"))
+    result = WaveRunner(spark, config, docs, io).run()
+    dt = time.time() - t
+    return {"sec": dt, "rows": result.total_fetched}
+
+
+def timed_entry_query(spark, sf_dir: str, name: str) -> dict:
+    import __spark_entry__ as em
+
+    q = em.queries()[name]
+    t = time.time()
+    n = q(spark, sf_dir).count()
+    return {"sec": time.time() - t, "rows": n}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.1
+    n_frontier = int(os.environ.get("BENCH_FRONTIER_N", str(int(10_000_000 * sf))))
+
+    spark = get_spark(cpus)
+    spark.range(1000).count()  # JVM warmup
+
+    results: dict[str, dict] = {}
+    results["frontier_schedule"] = bench_frontier_schedule(spark, n_frontier)
+    results["admission"] = bench_admission(spark, n_frontier)
+    results["seen_antijoin"] = bench_seen_antijoin(spark, n_frontier)
+    results["crawl_loop"] = bench_crawl_loop(spark)
+    for name in (
+        "lineitem_pricing", "top_revenue_orders", "events_topk_per_user",
+        "docs_minhash", "docs_lsh_pairs", "emb_cosine_topk",
+        "docs_quality", "docs_wordfreq_topk",
+    ):
+        results[name] = timed_entry_query(spark, sf_dir, name)
+
+    total = sum(r["sec"] for r in results.values())
+    out = {
+        "metric": "frontier-pop→fetch-batch + operator suite wall time",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v["sec"], 3) for k, v in results.items()},
+        "rows": {k: v["rows"] for k, v in results.items()},
+        "frontier_urls_per_sec": round(results["frontier_schedule"]["urls_per_sec"]),
+        "admission_urls_per_sec": round(results["admission"]["urls_per_sec"]),
+        "sf": sf,
+        "cpus": cpus,
+        "frontier_n": n_frontier,
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

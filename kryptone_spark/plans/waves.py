@@ -14,28 +14,31 @@ One wave = one pure DataFrame job:
     frontier ∪= admitted.valid ∧ ¬filtered                (add_urls)
     seen    ∪= admitted                                   (P12)
 
-All state tables are APPEND-ONLY with one parquet partition per wave
-(TableIO): a wave commit is idempotent (re-running wave k rewrites only
-its own partitions), which is the checkpoint/resume contract — the
-reference instead rewrites its whole frontier JSON every iteration
-(/root/reference/kryptone/base.py:562-575).
+State lives in memory as per-wave union DataFrames whose lineage is cut
+with ``localCheckpoint`` (the classic iterative-algorithm pattern), and
+is flushed to APPEND-ONLY tables with one parquet partition per wave
+(TableIO) every ``checkpoint_interval`` waves. A flush writes lineage
+LAST — its presence marks the wave committed, which is the
+checkpoint/resume contract. The reference instead rewrites its whole
+frontier JSON every iteration (/root/reference/kryptone/base.py:562-575).
 
 Scale notes (10^10 frontier):
 - frontier/visited/seen never touch the driver; `pending` is derived by
   anti-join, co-partitioned on domain_bucket by the table layout.
-- the only per-wave shuffles: schedule window (wave slice only), the
+- per-wave shuffles: the schedule window (wave slice only), the
   candidate↔seen anti-join (bloom-prefiltered via operators/seen.py
   when `use_bloom=True`), and the batch↔documents join.
 - driver holds scalars only (counts, wave offsets) — no collect() of
-  URL lists anywhere.
+  URL lists anywhere. Per-wave Spark jobs are batched: one materialize
+  + two aggs per wave, so the loop's fixed overhead stays flat as the
+  wave size grows.
 """
 
 from __future__ import annotations
 
-import datetime
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kryptone_spark.config import CrawlConfig
@@ -62,6 +65,13 @@ class CrawlResult:
         return sum(w.fetched for w in self.waves)
 
 
+# state tables flushed per wave; lineage last = commit marker
+_DELTA_TABLES = (
+    "fetch_batches", "visited", "seen", "frontier",
+    "edges", "robots_blocked", "lineage",
+)
+
+
 class WaveRunner:
     def __init__(
         self,
@@ -71,6 +81,8 @@ class WaveRunner:
         io: TableIO,
         robots: DataFrame | None = None,
         use_bloom: bool = False,
+        checkpoint_interval: int = 1,
+        write_edges: bool = True,
     ):
         self.spark = spark
         self.config = config
@@ -78,26 +90,41 @@ class WaveRunner:
         self.io = io
         self.robots = robots
         self.use_bloom = use_bloom
+        self.checkpoint_interval = max(1, checkpoint_interval)
+        self.write_edges = write_edges
         self._offset = 0.0
+        # cumulative in-memory state (lineage-cut per wave)
+        self._state: dict[str, DataFrame | None] = {
+            "seen": None, "visited": None, "frontier": None, "robots_blocked": None,
+        }
+        # per-wave deltas not yet flushed: (table, partition_wave, df,
+        # commit_group) — commit_group is the wave that PRODUCED the
+        # delta (seen/frontier deltas of wave k land in partition k+1
+        # but must commit before wave k's lineage marker)
+        self._pending_flush: list[tuple[str, int, DataFrame, int]] = []
 
-    # ---- state table helpers -------------------------------------------
+    # ---- state helpers ---------------------------------------------------
 
-    def _seen(self) -> DataFrame | None:
-        return self.io.read("seen")
+    def _append_state(self, name: str, delta: DataFrame) -> None:
+        delta = delta.localCheckpoint(eager=False)
+        cur = self._state[name]
+        self._state[name] = delta if cur is None else cur.unionByName(delta)
 
-    def _visited(self) -> DataFrame | None:
-        return self.io.read("visited")
+    def _queue_flush(self, name: str, wave: int, df: DataFrame, group: int) -> None:
+        self._pending_flush.append((name, wave, df, group))
 
-    def _frontier(self) -> DataFrame | None:
-        return self.io.read("frontier")
-
-    def _with_bucket(self, df: DataFrame) -> DataFrame:
-        return df.withColumn(
-            "domain_bucket",
-            U.domain_bucket(F.col("domain"), self.config.n_domain_buckets),
+    def flush(self) -> None:
+        """Write pending per-wave deltas; within each producing wave the
+        lineage rows go last so a torn flush leaves that wave
+        uncommitted (resume recomputes it)."""
+        ordered = sorted(
+            self._pending_flush, key=lambda t: (t[3], _DELTA_TABLES.index(t[0]))
         )
+        for name, wave, df, _ in ordered:
+            self.io.write_wave(name, df, wave)
+        self._pending_flush.clear()
 
-    # ---- bootstrap ------------------------------------------------------
+    # ---- bootstrap ---------------------------------------------------
 
     def seed(self) -> None:
         """before_start (base.py:1006-1051): admit the seed list with
@@ -110,7 +137,6 @@ class WaveRunner:
             F.lit(0).alias("first_wave"),
             F.col("verdict"),
         )
-        self.io.write_wave("seen", seen_rows, 0)
         frontier_rows = (
             admitted.where((F.col("verdict") == "valid") & ~F.col("filtered"))
             .select(
@@ -120,16 +146,19 @@ class WaveRunner:
                 F.lit(0.0).alias("priority"),
             )
         )
-        self.io.write_wave("frontier", frontier_rows, 0)
+        self._append_state("seen", seen_rows)
+        self._append_state("frontier", frontier_rows)
+        self._queue_flush("seen", 0, seen_rows, group=-1)
+        self._queue_flush("frontier", 0, frontier_rows, group=-1)
 
     # ---- one wave -------------------------------------------------------
 
     def run_wave(self, wave: int) -> WaveSummary | None:
-        frontier = self._frontier()
+        frontier = self._state["frontier"]
         if frontier is None:
             return None
-        visited = self._visited()
-        blocked = self.io.read("robots_blocked")
+        visited = self._state["visited"]
+        blocked = self._state["robots_blocked"]
 
         pending = frontier
         if visited is not None:
@@ -141,35 +170,35 @@ class WaveRunner:
             pending, self.config, wave, robots=self.robots,
             wave_start_offset=self._offset,
         )
-        batch = batch.cache()
-        fetched = batch.count()
+        batch = batch.localCheckpoint(eager=True)
+        stats = batch.agg(
+            F.count("*").alias("n"),
+            F.max(F.col("rank_in_domain") * F.col("crawl_delay")).alias("dur"),
+        ).collect()[0]
+        fetched = stats["n"]
+        if self.robots is not None:
+            self._append_state("robots_blocked", new_blocked)
+            self._queue_flush("robots_blocked", wave, new_blocked, group=wave)
         if fetched == 0:
-            nb = new_blocked.count()
-            if nb > 0:
-                self.io.write_wave("robots_blocked", new_blocked, wave)
-            batch.unpersist()
+            self.flush()
             return None
 
-        self.io.write_wave(
+        self._queue_flush(
             "fetch_batches",
+            wave,
             batch.select(
                 "wave", "domain", "url", "rank_in_domain", "rank_in_wave",
                 "fetch_at", "crawl_delay", "domain_bucket",
             ),
-            wave,
+            group=wave,
         )
-        if self.robots is not None:
-            self.io.write_wave("robots_blocked", new_blocked, wave)
 
         # mark the whole batch visited (reference marks page-at-a-time,
         # base.py:1121; batch pages are all in `seen` already, so links
         # to them reject on 'seen' either way — reason parity holds
-        # because admission below joins the PRE-wave visited table).
-        self.io.write_wave(
-            "visited",
-            batch.select("url", "domain_bucket", F.col("wave")),
-            wave,
-        )
+        # because admission below joins the PRE-wave visited state).
+        visited_w = batch.select("url", "domain_bucket", F.col("wave"))
+        self._queue_flush("visited", wave, visited_w, group=wave)
 
         # fetch = join against the interleaved documents table (S7)
         docs = batch.select("url").join(
@@ -188,7 +217,7 @@ class WaveRunner:
             first = batch.orderBy("rank_in_wave").select("url").first()
             allow_home = first["url"] if first else False
 
-        seen = self._seen()
+        seen = self._state["seen"]
         seen_urls = seen.select("url") if seen is not None else None
         if self.use_bloom and seen_urls is not None:
             from kryptone_spark.operators.seen import bloom_prefilter
@@ -202,11 +231,18 @@ class WaveRunner:
                 visited=visited.select("url") if visited is not None else None,
                 allow_home=allow_home,
             )
-        admitted = admitted.cache()
-        candidates = admitted.count()
+        admitted = admitted.localCheckpoint(eager=False)
+        counts = admitted.agg(
+            F.count("*").alias("cand"),
+            F.sum(
+                ((F.col("verdict") == "valid") & ~F.col("filtered")).cast("long")
+            ).alias("out"),
+        ).collect()[0]
+        candidates, out_count = counts["cand"], int(counts["out"] or 0)
 
         # per-URL aggregation: any-valid wins (matches the oracle's
-        # sorted per-page processing — see plans/waves.py design note)
+        # sorted per-page processing — home rule is src-dependent, all
+        # other predicates are per-URL deterministic)
         per_url = admitted.groupBy("url", "domain", "domain_bucket").agg(
             F.max(F.col("verdict") == "valid").alias("is_valid"),
             F.max(F.col("filtered")).alias("filtered"),
@@ -217,23 +253,25 @@ class WaveRunner:
             F.lit(wave + 1).alias("first_wave"),
             F.when(F.col("is_valid"), F.lit("valid")).otherwise(F.lit("rejected")).alias("verdict"),
         )
-        self.io.write_wave("seen", seen_rows, wave + 1)
-
         new_frontier = per_url.where(F.col("is_valid") & ~F.col("filtered")).select(
             "url", "domain", "domain_bucket",
             F.lit(wave + 1).alias("depth"),
             F.lit(wave + 1).alias("discovered_wave"),
             F.lit(0.0).alias("priority"),
         )
-        self.io.write_wave("frontier", new_frontier, wave + 1)
-        out_count = new_frontier.count()
+        self._append_state("seen", seen_rows)
+        self._append_state("frontier", new_frontier)
+        self._append_state("visited", visited_w.select("url", "domain_bucket"))
+        self._queue_flush("seen", wave + 1, seen_rows, group=wave)
+        self._queue_flush("frontier", wave + 1, new_frontier, group=wave)
 
         # edges (A3 url_distribution) + lineage (per-bucket audit)
-        edges = admitted.select(
-            F.col("src_url"), F.col("url").alias("dst_url"), F.lit(wave).alias("wave"),
-            "domain_bucket",
-        )
-        self.io.write_wave("edges", edges, wave)
+        if self.write_edges:
+            edges = admitted.select(
+                F.col("src_url"), F.col("url").alias("dst_url"),
+                F.lit(wave).alias("wave"), "domain_bucket",
+            )
+            self._queue_flush("edges", wave, edges, group=wave)
         lineage = (
             admitted.groupBy("domain_bucket")
             .agg(
@@ -249,12 +287,13 @@ class WaveRunner:
                 F.current_timestamp().alias("ts"),
             )
         )
-        self.io.write_wave("lineage", lineage, wave)
+        self._queue_flush("lineage", wave, lineage, group=wave)
 
-        dur = schedule.wave_duration(batch)
+        if (wave + 1) % self.checkpoint_interval == 0:
+            self.flush()
+
+        dur = float(stats["dur"] or 0.0)
         self._offset += dur
-        batch.unpersist()
-        admitted.unpersist()
         return WaveSummary(wave, fetched, candidates, out_count, dur)
 
     # ---- full crawl -----------------------------------------------------
@@ -271,6 +310,7 @@ class WaveRunner:
                 break
             result.waves.append(summary)
             wave += 1
+        self.flush()
         return result
 
     # ---- resume ---------------------------------------------------------
@@ -287,6 +327,11 @@ class WaveRunner:
             self.io.drop_waves_after(t, next_wave - 1)
         if next_wave == 0:
             return self.run(max_waves=max_waves)
+        # reload committed state into memory
+        for t in ("seen", "frontier", "visited", "robots_blocked"):
+            df = self.io.read(t)
+            if df is not None:
+                self._state[t] = df.drop("wave").localCheckpoint(eager=False)
         # rebuild the virtual clock offset from committed batches
         fb = self.io.read("fetch_batches")
         if fb is not None:
