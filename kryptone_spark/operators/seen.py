@@ -175,3 +175,101 @@ def bloom_prefilter(
         fresh, config, seen=None, visited=None, allow_home=allow_home
     )
     return a_maybe.unionByName(a_fresh)
+
+
+# ---------------------------------------------------------------------------
+# cuckoo variant — deletable membership for re-crawl windows
+# ---------------------------------------------------------------------------
+
+def build_cuckoo_sidecar(seen: DataFrame, config: CrawlConfig) -> dict[int, bytes]:
+    """One cuckoo filter per domain_bucket over the seen set. Unlike the
+    bloom sidecar it supports DELETES (expire_urls), enabling re-crawl
+    windows without rebuilding membership state."""
+    from kryptone_spark.functions.cuckoo import CuckooFilter
+
+    hashed = seen.select(
+        U.domain_bucket(U.netloc(F.col("url")), config.n_domain_buckets).alias(
+            "domain_bucket"
+        ),
+        F.xxhash64("url").alias("h"),
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("domain_bucket", T.IntegerType(), False),
+            T.StructField("bits", T.BinaryType(), False),
+        ]
+    )
+
+    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+        f = CuckooFilter(capacity=max(64, 2 * len(pdf)))
+        f.insert_many(pdf["h"].to_numpy().view(np.uint64))
+        return pd.DataFrame(
+            {"domain_bucket": [int(pdf["domain_bucket"].iloc[0])], "bits": [f.to_bytes()]}
+        )
+
+    rows = hashed.groupBy("domain_bucket").applyInPandas(_build, out_schema).collect()
+    return {int(r["domain_bucket"]): bytes(r["bits"]) for r in rows}
+
+
+def probe_cuckoo(
+    candidates: DataFrame,
+    sidecar: dict[int, bytes],
+    config: CrawlConfig,
+    url_col: str = "url",
+) -> DataFrame:
+    """Adds ``might_seen`` from the cuckoo sidecar (False ⇒ definitely
+    not seen — cuckoo filters, like blooms, have no false negatives)."""
+    from kryptone_spark.functions.cuckoo import CuckooFilter
+
+    spark = candidates.sparkSession
+    bc = spark.sparkContext.broadcast(sidecar)
+
+    @F.pandas_udf(T.BooleanType())
+    def _probe(bucket: pd.Series, h: pd.Series) -> pd.Series:
+        table = bc.value
+        out = np.zeros(len(bucket), dtype=bool)
+        b = bucket.to_numpy()
+        hh = h.to_numpy().view(np.uint64)
+        for bk in np.unique(b):
+            raw = table.get(int(bk))
+            if raw is None:
+                continue
+            f = CuckooFilter.from_bytes(raw)
+            idx = np.where(b == bk)[0]
+            out[idx] = f.contains_many(hh[idx])
+        return pd.Series(out)
+
+    resolved = U.resolve_relative(F.col(url_col), F.lit(_origin_lit(config)))
+    return candidates.withColumn(
+        "might_seen",
+        _probe(
+            U.domain_bucket(U.netloc(resolved), config.n_domain_buckets),
+            F.xxhash64(resolved),
+        ),
+    )
+
+
+def expire_urls(
+    sidecar: dict[int, bytes], expired: DataFrame, config: CrawlConfig
+) -> dict[int, bytes]:
+    """Re-crawl window: delete expired URLs from the cuckoo sidecar so
+    they read as unseen again. Exact-state deletion (the seen table)
+    happens by anti-joining the expired set at compaction; the sidecar
+    delete keeps the fast path consistent without a rebuild."""
+    from kryptone_spark.functions.cuckoo import CuckooFilter
+
+    rows = expired.select(
+        U.domain_bucket(U.netloc(F.col("url")), config.n_domain_buckets).alias("b"),
+        F.xxhash64("url").alias("h"),
+    ).collect()
+    by_bucket: dict[int, list[int]] = {}
+    for r in rows:
+        by_bucket.setdefault(int(r["b"]), []).append(int(r["h"]))
+    out = dict(sidecar)
+    for bk, hs in by_bucket.items():
+        if bk not in out:
+            continue
+        f = CuckooFilter.from_bytes(out[bk])
+        f.delete_many(np.array(hs, dtype=np.int64))
+        out[bk] = f.to_bytes()
+    return out

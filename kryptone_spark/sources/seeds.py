@@ -1,0 +1,77 @@
+"""Seed sources — S1-S6 of SURVEY.md §2.1.
+
+The reference's seed machinery (literal lists, CSV/JSON files, query /
+path-template / pagination generators, /root/reference/kryptone/utils/
+urls.py:598-756, 1073-1110) becomes DataFrame constructors: generators
+are ``explode(sequence(...))`` so a billion seeds never exist as Python
+objects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def from_list(spark: SparkSession, urls: list[str]) -> DataFrame:
+    """S1 — Meta.start_urls literal list (base.py:66-67)."""
+    return spark.createDataFrame([(u,) for u in urls], "url string")
+
+
+def load_start_urls(
+    spark: SparkSession, path: str, is_json: bool = False, column: str = "urls"
+) -> DataFrame:
+    """S3 — LoadStartUrls (urls.py:1073-1110): seeds from CSV (one url
+    per row, no header in the reference) or a JSON array of objects."""
+    if is_json:
+        df = spark.read.option("multiLine", "true").json(path)
+        col = column if column in df.columns else df.columns[0]
+        return df.select(F.col(col).alias("url"))
+    return (
+        spark.read.csv(path)
+        .select(F.col("_c0").alias("url"))
+        .where(F.col("url").isNotNull())
+    )
+
+
+def query_generator(
+    spark: SparkSession,
+    url: str,
+    param: str,
+    initial_value: int = 0,
+    end_value: int = 100,
+    step: int = 10,
+    query: dict[str, str] | None = None,
+) -> DataFrame:
+    """S4 — URLQueryGenerator (urls.py:598-661): sweep one query param
+    over a numeric range, keeping extra fixed params."""
+    extra = "".join(f"&{k}={v}" for k, v in (query or {}).items())
+    return spark.range(1).select(
+        F.explode(F.sequence(F.lit(initial_value), F.lit(end_value), F.lit(step))).alias("v")
+    ).select(
+        F.concat(
+            F.lit(url), F.lit("?"), F.lit(param), F.lit("="),
+            F.col("v").cast("string"), F.lit(extra),
+        ).alias("url")
+    )
+
+
+def path_generator(
+    spark: SparkSession, template: str, k: int, start: int = 1, var: str = "$id"
+) -> DataFrame:
+    """S5 — URLPathGenerator (urls.py:664-704): $var path template × k."""
+    pre, _, post = template.partition(var)
+    return spark.range(1).select(
+        F.explode(F.sequence(F.lit(start), F.lit(start + k - 1))).alias("v")
+    ).select(
+        F.concat(F.lit(pre), F.col("v").cast("string"), F.lit(post)).alias("url")
+    )
+
+
+def pagination_generator(
+    spark: SparkSession, url: str, param_name: str = "page", k: int = 10
+) -> DataFrame:
+    """S6 — URLPaginationGenerator (urls.py:707-756): url?page=1..k."""
+    return query_generator(
+        spark, url, param_name, initial_value=1, end_value=k, step=1
+    )

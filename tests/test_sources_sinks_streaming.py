@@ -1,0 +1,153 @@
+"""Seed sources (S1-S6), export sinks (K1/K4), streaming ingest."""
+
+import json
+import pathlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from kryptone_spark.sources import seeds
+from kryptone_spark.sinks import exports
+
+
+def test_load_start_urls_csv(spark, tmp_path):
+    p = tmp_path / "seeds.csv"
+    p.write_text("http://a.test/\nhttp://b.test/x\n")
+    got = {r["url"] for r in seeds.load_start_urls(spark, str(p)).collect()}
+    assert got == {"http://a.test/", "http://b.test/x"}
+
+
+def test_load_start_urls_json(spark, tmp_path):
+    p = tmp_path / "seeds.json"
+    p.write_text(json.dumps([{"urls": "http://a.test/"}, {"urls": "http://b.test/"}]))
+    got = {r["url"] for r in seeds.load_start_urls(spark, str(p), is_json=True).collect()}
+    assert got == {"http://a.test/", "http://b.test/"}
+
+
+def test_query_generator(spark):
+    got = [r["url"] for r in seeds.query_generator(
+        spark, "http://x.test/list", "price", 0, 30, 10, query={"sort": "asc"}
+    ).collect()]
+    assert got == [
+        "http://x.test/list?price=0&sort=asc",
+        "http://x.test/list?price=10&sort=asc",
+        "http://x.test/list?price=20&sort=asc",
+        "http://x.test/list?price=30&sort=asc",
+    ]
+
+
+def test_path_generator(spark):
+    got = [r["url"] for r in seeds.path_generator(
+        spark, "http://x.test/page/$id/view", k=3
+    ).collect()]
+    assert got == [
+        "http://x.test/page/1/view",
+        "http://x.test/page/2/view",
+        "http://x.test/page/3/view",
+    ]
+
+
+def test_pagination_generator(spark):
+    got = [r["url"] for r in seeds.pagination_generator(spark, "http://x.test/c", k=3).collect()]
+    assert got == ["http://x.test/c?page=1", "http://x.test/c?page=2", "http://x.test/c?page=3"]
+
+
+@pytest.fixture(scope="module")
+def crawled_io(spark, tmp_path_factory):
+    from kryptone_spark.config import CrawlConfig
+    from kryptone_spark.plans.tableio import TableIO
+    from kryptone_spark.plans.waves import WaveRunner
+    from kryptone_spark.synth import site_df, synth_site
+
+    site = synth_site(n_domains=1, n_products=6, page_size=4, seed=42)
+    io = TableIO(spark, str(tmp_path_factory.mktemp("exports")))
+    config = CrawlConfig(start_urls=["http://sitea.test/"], ignore_images=True)
+    WaveRunner(spark, config, site_df(spark, site), io).run()
+    return io
+
+
+def test_export_seen_csv_sorted(spark, crawled_io, tmp_path):
+    out = tmp_path / "seen_csv"
+    exports.export_seen_csv(crawled_io, str(out))
+    files = list(pathlib.Path(out).glob("part-*.csv"))
+    assert len(files) == 1
+    lines = files[0].read_text().splitlines()
+    assert lines == sorted(lines) and len(lines) > 5
+
+
+def test_export_url_distribution(spark, crawled_io, tmp_path):
+    out = tmp_path / "dist_json"
+    exports.export_url_distribution_json(crawled_io, str(out))
+    rows = [
+        json.loads(line)
+        for f in pathlib.Path(out).glob("part-*")
+        if f.suffix != ".crc" and not f.name.startswith("_")
+        for line in f.read_text().splitlines()
+    ]
+    assert any(r["src_url"] == "http://sitea.test/" and r["out_links"] for r in rows)
+
+
+def test_export_cache_json_and_performance(spark, crawled_io, tmp_path):
+    p = tmp_path / "cache.json"
+    exports.export_cache_json(crawled_io, str(p))
+    cache = json.loads(p.read_text())
+    assert cache["urls_to_visit"] == []  # crawl ran to completion
+    assert len(cache["visited_urls"]) > 5
+    perf = exports.performance_summary(crawled_io)
+    assert perf["completion_percentage"] == 100.0
+    assert perf["count_visited_urls"] == len(cache["visited_urls"])
+
+
+def test_webhook_sink_chunks(spark):
+    import tempfile, os
+    tmp = tempfile.mkdtemp()
+    sink_dir = os.path.join(tmp, "posts")
+    os.makedirs(sink_dir)
+
+    def send(batch):
+        # executor-side: record each chunk as a file
+        import json as _json
+        import uuid
+        with open(os.path.join(sink_dir, f"{uuid.uuid4().hex}.json"), "w") as f:
+            _json.dump(batch, f)
+
+    df = spark.range(250).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    n = exports.webhook_sink(df, send, chunk_size=100)
+    assert n == 250
+    sizes = []
+    for f in pathlib.Path(sink_dir).glob("*.json"):
+        sizes.append(len(json.loads(f.read_text())))
+    assert sum(sizes) == 250
+    assert max(sizes) <= 100
+
+
+def test_streaming_ingest(spark, tmp_path):
+    """File-source streaming: windowed stats + idempotent visited merge."""
+    from kryptone_spark.plans.tableio import TableIO
+    from kryptone_spark.streaming import ingest
+
+    results = tmp_path / "results"
+    results.mkdir()
+    rows1 = [
+        {"url": "http://a.test/1", "fetch_ts": "2024-01-01T00:00:05.000Z", "status": 200, "n_links": 3},
+        {"url": "http://a.test/2", "fetch_ts": "2024-01-01T00:00:30.000Z", "status": 404, "n_links": 0},
+        {"url": "http://b.test/1", "fetch_ts": "2024-01-01T00:01:10.000Z", "status": 200, "n_links": 5},
+    ]
+    (results / "r1.json").write_text("\n".join(json.dumps(r) for r in rows1))
+
+    io = TableIO(spark, str(tmp_path / "state"))
+    stream = ingest.fetch_results_stream(spark, str(results))
+    q = ingest.run_visited_merge(stream, io, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    visited = io.read("visited_stream")
+    assert {r["url"] for r in visited.collect()} == {u["url"] for u in rows1}
+
+    # event-time windowed stats on the same data (batch-mode check of
+    # the streaming aggregation plan)
+    static = spark.read.schema(ingest.FETCH_RESULT).json(str(results))
+    stats = ingest.windowed_fetch_stats(static.withWatermark("fetch_ts", "30 seconds"))
+    got = {
+        (r["domain"], r["n_fetched"], r["n_errors"]) for r in stats.collect()
+    }
+    assert ("a.test", 2, 1) in got and ("b.test", 1, 0) in got
