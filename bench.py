@@ -51,7 +51,7 @@ def bench_frontier_schedule(spark, n_urls: int) -> dict:
     frontier = synth_frontier_df(spark, n_urls, n_domains=1000, hot_domain_share=0.8)
     frontier = frontier.localCheckpoint()  # isolate generation cost
     t = time.time()
-    batch, _ = schedule.politeness_schedule(frontier, config, wave=0)
+    batch, _ = schedule.politeness_schedule(frontier, config, wave=0, global_rank=False)
     n = batch.count()
     dt = time.time() - t
     return {"sec": dt, "rows": n, "urls_per_sec": n_urls / dt}

@@ -58,6 +58,7 @@ def politeness_schedule(
     wave: int,
     robots: DataFrame | None = None,
     wave_start_offset: float = 0.0,
+    global_rank: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Rank pending URLs per domain and take each domain's budget.
 
@@ -92,12 +93,15 @@ def politeness_schedule(
         ),
     )
     # rank_in_wave: the oracle's global lexicographic processing order.
-    w_wave = Window.orderBy("url")
-    batch = (
-        batch.withColumn("rank_in_wave", F.row_number().over(w_wave) - 1)
-        .withColumn("wave", F.lit(wave))
-        .drop("robots_blocked")
-    )
+    # A single-partition sort — exact parity artifact for golden-order
+    # tests; disable (global_rank=False) for production-size batches
+    # where per-domain rank is the only ordering politeness needs.
+    if global_rank:
+        w_wave = Window.orderBy("url")
+        batch = batch.withColumn("rank_in_wave", F.row_number().over(w_wave) - 1)
+    else:
+        batch = batch.withColumn("rank_in_wave", F.lit(None).cast("int"))
+    batch = batch.withColumn("wave", F.lit(wave)).drop("robots_blocked")
     return batch, blocked
 
 
