@@ -360,7 +360,9 @@ def q_docs_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_docs_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kryptone_spark.operators import dedup
 
-    return dedup.minhash_lsh_pairs(_load(spark, sf_dir, "documents"))
+    return dedup.minhash_lsh_pairs(
+        _load(spark, sf_dir, "documents"), max_bucket_size=50
+    )
 
 
 def q_docs_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -754,7 +756,9 @@ def oracle_sql() -> dict[str, str]:
         "docs_lsh_pairs": f"""
             WITH {TOKS_CTE.strip()},
             sigs AS (SELECT doc_id, {_SIG_COLS} FROM toks GROUP BY doc_id),
-            bands AS ({_BANDS_SQL})
+            bands0 AS ({_BANDS_SQL}),
+            ok AS (SELECT band, bucket FROM bands0 GROUP BY band, bucket HAVING count(*) <= 50),
+            bands AS (SELECT bands0.* FROM bands0 JOIN ok USING (band, bucket))
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
             FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
             GROUP BY doc_a, doc_b

@@ -67,12 +67,18 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", k: int = MINHASH_K
 
 
 def minhash_lsh_pairs(
-    df: DataFrame, text_col: str = "text", k: int = MINHASH_K, bands: int = LSH_BANDS
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Banded LSH: docs sharing any band bucket become candidate pairs.
     Scale: the band→bucket groupBy-join touches only signatures (never
-    text); hot buckets (boilerplate) are the skew risk — AQE skew-join
-    plus an optional bucket-size cap handle it."""
+    text); hot buckets (boilerplate signatures shared by thousands of
+    docs) would make the self-join quadratic — ``max_bucket_size`` drops
+    them (standard web-dedup practice: a bucket that big is template
+    noise, not near-duplication), and AQE skew-join splits the rest."""
     sigs = minhash_signatures(df, text_col, k)
     rows_per_band = k // bands
     band_cols = []
@@ -84,6 +90,14 @@ def minhash_lsh_pairs(
     banded = sigs.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("bb")
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    if max_bucket_size is not None:
+        sizes = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count("*").alias("__bs"))
+            .where(F.col("__bs") <= max_bucket_size)
+            .drop("__bs")
+        )
+        banded = banded.join(sizes, ["band", "bucket"], "left_semi")
     a = banded.alias("a")
     b_ = banded.alias("b")
     return (
