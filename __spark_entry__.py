@@ -108,7 +108,10 @@ def _fetch_batch_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         kept.withColumn("rank_in_domain", F.row_number().over(w))
         .where(F.col("rank_in_domain") <= 8)
-        .withColumn("fetch_at_s", ((F.col("rank_in_domain") - 1) * 25.0))
+        .withColumn(
+            "fetch_at_s",
+            ((F.col("rank_in_domain") - 1) * F.lit(25.0)).cast("double"),
+        )
         .orderBy("domain", "rank_in_domain")
     )
 
@@ -635,7 +638,7 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (PARTITION BY domain ORDER BY url)::INTEGER AS rank_in_domain
               FROM kept)
             SELECT url, domain, rank_in_domain,
-                   (rank_in_domain - 1) * 25.0 AS fetch_at_s
+                   ((rank_in_domain - 1) * 25.0)::DOUBLE AS fetch_at_s
             FROM ranked WHERE rank_in_domain <= 8
         """,
         "seen_antijoin": f"""
