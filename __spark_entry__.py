@@ -524,6 +524,149 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_route_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 route dispatch (routing.py:123-131): first-match-wins over an
+    ordered regex route table, compiled to a chained CASE — Catalyst
+    folds it into one codegen stage, no join needed for a static table."""
+    urls = _urls_from_orders(_load(spark, sf_dir, "orders"))
+    u = F.col("url")
+    route = (
+        F.when(u.rlike("/img/"), F.lit("media"))
+        .when(u.rlike("[?]page="), F.lit("listing"))
+        .when(u.rlike("offsite"), F.lit("external"))
+        .when(u.rlike("#reviews$"), F.lit("reviews"))
+        .when(u.rlike("product-[0-9]+$"), F.lit("product"))
+        .otherwise(F.lit("other"))
+    )
+    return urls.select("k", "url", route.alias("route"))
+
+
+def q_robots_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 robots enforcement: broadcast join of the pending frontier
+    against the per-domain robots dim (disallow prefixes + crawl-delay
+    override), aggregated per domain."""
+    from kryptone_spark.config import CrawlConfig
+    from kryptone_spark.functions import urls as U
+    from kryptone_spark.operators import schedule
+
+    urls = _urls_from_orders(_load(spark, sf_dir, "orders"))
+    pending = urls.select("url", U.host(F.col("url")).alias("domain"))
+    region = _load(spark, sf_dir, "region")
+    robots = region.select(
+        F.concat(F.lit("site"), F.col("r_regionkey").cast("string"), F.lit(".test")).alias("domain"),
+        F.when(F.col("r_regionkey") % 2 == 0, F.array(F.lit("/img/")))
+        .otherwise(F.array().cast("array<string>"))
+        .alias("disallow"),
+        (F.lit(5.0) + F.col("r_regionkey")).cast("double").alias("crawl_delay"),
+    )
+    out = schedule.with_robots(pending, robots, CrawlConfig(wait_time=25.0))
+    return out.groupBy("domain").agg(
+        F.sum(F.col("robots_blocked").cast("long")).alias("n_blocked"),
+        F.count("*").alias("n_urls"),
+        F.max("crawl_delay").cast("double").alias("crawl_delay"),
+    )
+
+
+def q_url_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/J5 url_distribution (base.py:312,502): page → sorted out-link
+    list + degree, over an edge table synthesized from lineitem."""
+    from kryptone_spark.operators import extract
+
+    li = _load(spark, sf_dir, "lineitem")
+    base = F.concat(F.lit("https://site"), (F.col("l_orderkey") % 7).cast("string"), F.lit(".test"))
+    edges = li.select(
+        F.concat(base, F.lit("/order-"), F.col("l_orderkey").cast("string")).alias("src_url"),
+        F.concat(base, F.lit("/part-"), F.col("l_partkey").cast("string")).alias("dst_url"),
+    )
+    return extract.url_distribution(edges)
+
+
+def q_doc_emails(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7/A9 EmailMixin token scan (seo.py:587-643): contains '@', not
+    a social handle, \\S+@\\S+ — distinct per source row."""
+    from kryptone_spark.functions import text as TXT
+
+    c = _load(spark, sf_dir, "customer")
+    text = F.concat(
+        F.lit("contact "),
+        F.lower(F.regexp_replace(F.col("c_name"), "#", ".")),
+        F.lit("@site"), (F.col("c_custkey") % 7).cast("string"),
+        F.lit(".test via @support now"),
+    )
+    return c.select(
+        "c_custkey", F.explode(TXT.extract_emails(text)).alias("email")
+    )
+
+
+def q_frontier_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 reorder command (management/commands/reorder.py:25-52):
+    regex-matched URLs first, then lexicographic."""
+    urls = _urls_from_orders(_load(spark, sf_dir, "orders"))
+    matched = F.col("url").rlike("/products")
+    w = Window.orderBy(F.desc("matched"), F.asc("url"))
+    return (
+        urls.select("url", matched.alias("matched"))
+        .withColumn("rk", F.row_number().over(w))
+    )
+
+
+def q_query_params_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10 parse_qs/rebuild_query (urls.py:307-311,333-358): query
+    string → map, typed param extraction."""
+    from kryptone_spark.functions import urls as U
+
+    urls = _urls_from_orders(_load(spark, sf_dir, "orders"))
+    qm = U.query_map(F.col("url"))
+    return urls.where(U.has_query(F.col("url"))).select(
+        "k",
+        F.element_at(qm, "page").cast("int").alias("page"),
+        F.size(F.map_keys(qm)).alias("n_params"),
+    )
+
+
+def q_completion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 Performance counters (base.py:776-796): visited / pending /
+    completion, exact basis-point integer to dodge float rounding."""
+    from kryptone_spark.functions import urls as U
+
+    urls = _urls_from_orders(_load(spark, sf_dir, "orders"))
+    host = U.host(F.col("url"))
+    valid = urls.where(
+        ~U.has_fragment(F.col("url"))
+        & ~U.is_image(F.col("url"), (".jpg",))
+        & (host != "offsite.example")
+    )
+    visited = (F.col("k") % 2 == 0).cast("long")
+    return valid.agg(
+        F.sum(visited).alias("n_visited"),
+        F.sum(F.lit(1) - visited).alias("n_pending"),
+        F.floor(F.lit(10000) * F.sum(visited) / F.count("*")).alias("completion_bp"),
+    )
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table join chain (customer ⋈ orders ⋈ lineitem ⋈ nation)
+    with broadcast dims — the join-reordering/broadcast showcase."""
+    c = _load(spark, sf_dir, "customer")
+    o = _load(spark, sf_dir, "orders")
+    li = _load(spark, sf_dir, "lineitem")
+    n = _load(spark, sf_dir, "nation")
+    d = lambda col: F.col(col).cast("decimal(18,2)")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(d("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - d("l_discount"))).cast("double"),
+                2,
+            ).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "url_parts": q_url_parts,
@@ -556,6 +699,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_tfidf": q_docs_tfidf,
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_label_norms": q_emb_label_norms,
+        "route_dispatch": q_route_dispatch,
+        "robots_join": q_robots_join,
+        "url_distribution": q_url_distribution,
+        "doc_emails": q_doc_emails,
+        "frontier_reorder": q_frontier_reorder,
+        "query_params_map": q_query_params_map,
+        "completion_stats": q_completion_stats,
+        "revenue_by_nation": q_revenue_by_nation,
         "crawl_flagship": q_crawl_flagship,
         "media_decode": q_media_decode,
         "approx_distinct": q_approx_distinct,
@@ -875,5 +1026,105 @@ def oracle_sql() -> dict[str, str]:
             SELECT label, count(*) AS n,
                    round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS avg_norm
             FROM embeddings GROUP BY label
+        """,
+        "route_dispatch": f"""
+            WITH {URLS_CTE.strip()}
+            SELECT k, url,
+                   CASE
+                     WHEN regexp_matches(url, '/img/') THEN 'media'
+                     WHEN regexp_matches(url, '[?]page=') THEN 'listing'
+                     WHEN regexp_matches(url, 'offsite') THEN 'external'
+                     WHEN regexp_matches(url, '#reviews$') THEN 'reviews'
+                     WHEN regexp_matches(url, 'product-[0-9]+$') THEN 'product'
+                     ELSE 'other'
+                   END AS route
+            FROM urls
+        """,
+        "robots_join": f"""
+            WITH {URLS_CTE.strip()},
+            pending AS (
+              SELECT url,
+                     CASE WHEN k % 10 = 3 THEN 'offsite.example'
+                          ELSE 'site' || dn || '.test' END AS domain,
+                     CASE WHEN k % 10 = 3 THEN '/item-' || k
+                          WHEN k % 10 = 0 THEN '/img/photo-' || k || '.jpg'
+                          WHEN k % 10 = 1 THEN '/product-' || k
+                          WHEN k % 10 = 2 THEN '/products'
+                          ELSE '/product-' || k END AS path
+              FROM urls),
+            robots AS (
+              SELECT 'site' || r_regionkey || '.test' AS domain,
+                     (r_regionkey % 2 = 0) AS dis,
+                     (5.0 + r_regionkey)::DOUBLE AS rdelay
+              FROM region)
+            SELECT p.domain,
+                   sum(CASE WHEN coalesce(r.dis, FALSE) AND p.path LIKE '/img/%'
+                            THEN 1 ELSE 0 END) AS n_blocked,
+                   count(*) AS n_urls,
+                   max(coalesce(r.rdelay, 25.0))::DOUBLE AS crawl_delay
+            FROM pending p LEFT JOIN robots r ON p.domain = r.domain
+            GROUP BY p.domain
+        """,
+        "url_distribution": """
+            WITH edges AS (
+              SELECT 'https://site' || (l_orderkey % 7) || '.test/order-' || l_orderkey AS src_url,
+                     'https://site' || (l_orderkey % 7) || '.test/part-' || l_partkey AS dst_url
+              FROM lineitem)
+            SELECT src_url,
+                   list_sort(list(dst_url)) AS out_links,
+                   count(*) AS n_links
+            FROM edges GROUP BY src_url
+        """,
+        "doc_emails": """
+            WITH texts AS (
+              SELECT c_custkey,
+                     'contact ' || lower(replace(c_name, '#', '.')) ||
+                     '@site' || (c_custkey % 7) || '.test via @support now' AS text
+              FROM customer),
+            toks AS (
+              SELECT DISTINCT c_custkey,
+                     unnest(string_split(text, ' ')) AS tok
+              FROM texts)
+            SELECT c_custkey, tok AS email
+            FROM toks
+            WHERE contains(tok, '@') AND NOT starts_with(tok, '@')
+              AND regexp_matches(tok, '\\S+@\\S+')
+        """,
+        "frontier_reorder": f"""
+            WITH {URLS_CTE.strip()}
+            SELECT url,
+                   regexp_matches(url, '/products') AS matched,
+                   row_number() OVER (
+                     ORDER BY regexp_matches(url, '/products') DESC, url
+                   )::INTEGER AS rk
+            FROM urls
+        """,
+        "query_params_map": f"""
+            WITH {URLS_CTE.strip()}
+            SELECT k,
+                   regexp_extract(url, 'page=([0-9]+)', 1)::INTEGER AS page,
+                   1 AS n_params
+            FROM urls
+            WHERE contains(url, '?')
+        """,
+        "completion_stats": f"""
+            WITH {URLS_CTE.strip()},
+            valid AS (
+              SELECT k FROM urls
+              WHERE k % 10 NOT IN (0, 1, 3))
+            SELECT sum(CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END) AS n_visited,
+                   sum(CASE WHEN k % 2 = 0 THEN 0 ELSE 1 END) AS n_pending,
+                   (10000 * sum(CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END)) // count(*) AS completion_bp
+            FROM valid
+        """,
+        "revenue_by_nation": """
+            SELECT n_name,
+                   round(sum(l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DOUBLE, 2) AS revenue,
+                   count(DISTINCT o_orderkey) AS n_orders
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
         """,
     }

@@ -184,16 +184,33 @@ def decompose_path(url: Column) -> Column:
 
 
 def query_map(url: Column) -> Column:
-    """``parse_qs``-lite: query → map<string,string> (last value wins;
-    the reference's dict-of-lists collapses the same way when rebuilt,
-    urls.py:307-311, 333-358)."""
+    """``parse_qs``-lite: query → map<string,string>, last value wins
+    (the reference's dict-of-lists collapses the same way when rebuilt,
+    urls.py:307-311, 333-358), empty keys dropped, no query → NULL.
+
+    Native HOFs only: ``str_to_map``/``map_from_entries`` raise under
+    Spark's default EXCEPTION dup-key policy, so duplicates are removed
+    first — keep entry i iff no later entry shares its key (arrays are
+    a handful of params, the O(n²) scan folds into codegen)."""
     q = query(url)
-    return F.when(
-        q != "",
-        F.map_filter(
-            F.str_to_map(q, "&", "="), lambda k, _: k != F.lit("")
+    entries = F.filter(
+        F.transform(
+            F.split(q, "&"),
+            lambda s: F.struct(
+                F.regexp_extract(s, "^([^=]*)", 1).alias("key"),
+                F.regexp_replace(s, "^[^=]*=?", "").alias("value"),
+            ),
+        ),
+        lambda e: e["key"] != F.lit(""),
+    )
+    last_wins = F.filter(
+        entries,
+        lambda e, i: ~F.exists(
+            F.slice(entries, i + F.lit(2), F.size(entries)),
+            lambda e2: e2["key"] == e["key"],
         ),
     )
+    return F.when(q != "", F.map_from_entries(last_wins))
 
 
 def strip_fragment(url: Column) -> Column:

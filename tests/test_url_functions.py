@@ -194,3 +194,22 @@ def test_canonicalize_full(spark):
     }
     for u, expected in cases:
         assert got[u] == expected, (u, got[u])
+
+
+def test_query_map(spark):
+    """F10 parse_qs-lite (urls.py:307-311): query string → map,
+    last value wins, empty keys dropped, no-query → NULL."""
+    cases = [
+        ("https://a.test/x?a=1&b=2", {"a": "1", "b": "2"}),
+        ("https://a.test/x?a=1&a=2", {"a": "2"}),
+        ("https://a.test/x?page=7", {"page": "7"}),
+        ("https://a.test/x", None),
+        ("https://a.test/x?&a=1", {"a": "1"}),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "u string")
+    got = {
+        r["u"]: r["m"]
+        for r in df.select("u", U.query_map(F.col("u")).alias("m")).collect()
+    }
+    for u, expected in cases:
+        assert got[u] == expected, (u, got[u])
