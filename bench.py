@@ -109,7 +109,9 @@ def bench_crawl_loop(spark) -> dict:
     config = CrawlConfig(start_urls=["http://sitea.test/"], ignore_images=True)
     t = time.time()
     io = TableIO(spark, tempfile.mkdtemp(prefix="bench_crawl_"))
-    result = WaveRunner(spark, config, docs, io).run()
+    # production posture: per-wave counts live in the lineage table,
+    # not driver aggs (collect_stats=False)
+    result = WaveRunner(spark, config, docs, io, collect_stats=False).run()
     dt = time.time() - t
     return {"sec": dt, "rows": result.total_fetched}
 

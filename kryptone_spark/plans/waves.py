@@ -83,6 +83,7 @@ class WaveRunner:
         use_bloom: bool = False,
         checkpoint_interval: int = 1,
         write_edges: bool = True,
+        collect_stats: bool = True,
     ):
         self.spark = spark
         self.config = config
@@ -92,6 +93,10 @@ class WaveRunner:
         self.use_bloom = use_bloom
         self.checkpoint_interval = max(1, checkpoint_interval)
         self.write_edges = write_edges
+        # collect_stats=False skips the per-wave candidate/out-count
+        # driver agg (one Spark job per wave); the same numbers are
+        # durable in the lineage table, so monitoring reads them there.
+        self.collect_stats = collect_stats
         self._offset = 0.0
         # cumulative in-memory state (lineage-cut per wave)
         self._state: dict[str, DataFrame | None] = {
@@ -116,12 +121,26 @@ class WaveRunner:
     def flush(self) -> None:
         """Write pending per-wave deltas; within each producing wave the
         lineage rows go last so a torn flush leaves that wave
-        uncommitted (resume recomputes it)."""
-        ordered = sorted(
-            self._pending_flush, key=lambda t: (t[3], _DELTA_TABLES.index(t[0]))
-        )
-        for name, wave, df, _ in ordered:
-            self.io.write_wave(name, df, wave)
+        uncommitted (resume recomputes it). Non-lineage writes of a
+        group are independent parquet dirs → submitted as concurrent
+        Spark jobs (threads), which hides the per-write fixed cost."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        by_group: dict[int, list[tuple[str, int, DataFrame]]] = {}
+        for name, wave, df, group in self._pending_flush:
+            by_group.setdefault(group, []).append((name, wave, df))
+        for group in sorted(by_group):
+            items = sorted(by_group[group], key=lambda t: _DELTA_TABLES.index(t[0]))
+            head = [(n, w, d) for n, w, d in items if n != "lineage"]
+            tail = [(n, w, d) for n, w, d in items if n == "lineage"]
+            if len(head) > 1:
+                with ThreadPoolExecutor(max_workers=len(head)) as ex:
+                    list(ex.map(lambda t: self.io.write_wave(t[0], t[2], t[1]), head))
+            else:
+                for n, w, d in head:
+                    self.io.write_wave(n, d, w)
+            for n, w, d in tail:
+                self.io.write_wave(n, d, w)
         self._pending_flush.clear()
 
     # ---- bootstrap ---------------------------------------------------
@@ -170,10 +189,15 @@ class WaveRunner:
             pending, self.config, wave, robots=self.robots,
             wave_start_offset=self._offset,
         )
-        batch = batch.localCheckpoint(eager=True)
+        batch = batch.localCheckpoint(eager=False)
+        # one job: materializes the lazy checkpoint AND collects the
+        # scalars the driver needs (count, virtual duration, and the
+        # lexicographically-first URL = rank_in_wave 0, for the wave-0
+        # home-page rule) — no separate first() job.
         stats = batch.agg(
             F.count("*").alias("n"),
             F.max(F.col("rank_in_domain") * F.col("crawl_delay")).alias("dur"),
+            F.min("url").alias("first_url"),
         ).collect()[0]
         fetched = stats["n"]
         if self.robots is not None:
@@ -211,11 +235,11 @@ class WaveRunner:
         )
 
         # home page admissible only from the first-ever processed page
-        # (iteration_count semantics, base.py:706-717)
+        # (iteration_count semantics, base.py:706-717); the politeness
+        # window orders by url, so rank_in_wave 0 == min(url).
         allow_home: bool | str = False
         if wave == 0:
-            first = batch.orderBy("rank_in_wave").select("url").first()
-            allow_home = first["url"] if first else False
+            allow_home = stats["first_url"] or False
 
         seen = self._state["seen"]
         seen_urls = seen.select("url") if seen is not None else None
@@ -232,13 +256,16 @@ class WaveRunner:
                 allow_home=allow_home,
             )
         admitted = admitted.localCheckpoint(eager=False)
-        counts = admitted.agg(
-            F.count("*").alias("cand"),
-            F.sum(
-                ((F.col("verdict") == "valid") & ~F.col("filtered")).cast("long")
-            ).alias("out"),
-        ).collect()[0]
-        candidates, out_count = counts["cand"], int(counts["out"] or 0)
+        if self.collect_stats:
+            counts = admitted.agg(
+                F.count("*").alias("cand"),
+                F.sum(
+                    ((F.col("verdict") == "valid") & ~F.col("filtered")).cast("long")
+                ).alias("out"),
+            ).collect()[0]
+            candidates, out_count = counts["cand"], int(counts["out"] or 0)
+        else:
+            candidates = out_count = -1
 
         # per-URL aggregation: any-valid wins (matches the oracle's
         # sorted per-page processing — home rule is src-dependent, all
