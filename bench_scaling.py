@@ -46,7 +46,12 @@ frontier = synth_frontier_df(spark, n, n_domains=1000, hot_domain_share=0.8).loc
 links = frontier.select("url")
 
 t = time.time()
-batch, _ = schedule.politeness_schedule(frontier, config, wave=0, global_rank=False)
+# salt_buckets spreads the hot domain's top-k rank across cores (the
+# frontier is 80% one domain by construction) — without it the window
+# serializes into one task and BOTH cluster sizes bottleneck on it.
+batch, _ = schedule.politeness_schedule(
+    frontier, config, wave=0, global_rank=False, salt_buckets=cpus
+)
 n_batch = batch.count()
 admitted = admission.admit(links, config, seen=batch.select("url"), allow_home=False)
 n_valid = admitted.where("verdict = 'valid'").count()
@@ -75,7 +80,7 @@ def run(cpus: int, n: int) -> dict:
 
 
 def main() -> None:
-    n = int(os.environ.get("SCALING_N", "4000000"))
+    n = int(os.environ.get("SCALING_N", "16000000"))
     lo = int(os.environ.get("SCALING_LO", "8"))
     hi = int(os.environ.get("SCALING_HI", "32"))
     r_lo, r_hi = run(lo, n), run(hi, n)

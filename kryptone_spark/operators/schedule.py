@@ -59,6 +59,7 @@ def politeness_schedule(
     robots: DataFrame | None = None,
     wave_start_offset: float = 0.0,
     global_rank: bool = True,
+    salt_buckets: int = 0,
 ) -> tuple[DataFrame, DataFrame]:
     """Rank pending URLs per domain and take each domain's budget.
 
@@ -79,6 +80,25 @@ def politeness_schedule(
         "robots_blocked", "crawl_delay"
     )
     ok = pending.where(~F.col("robots_blocked"))
+
+    # Two-phase top-k for hot-domain skew (salt_buckets > 0): AQE's
+    # skew handling splits joins, not windows, so a domain holding most
+    # of the frontier would rank in ONE task. Phase 1 ranks within
+    # (domain, salt) partitions and keeps each salt's local budget —
+    # the true per-domain top-k is a subset of the union of salted
+    # top-ks — so the exact phase-2 window sees ≤ salt_buckets × budget
+    # rows per domain instead of the domain's whole pending set.
+    budget = config.max_per_domain_per_wave
+    if salt_buckets > 1 and budget < (1 << 30):
+        w_salt = Window.partitionBy("domain", "__salt").orderBy("priority", "url")
+        ok = (
+            ok.withColumn(
+                "__salt", F.pmod(F.xxhash64("url"), F.lit(salt_buckets))
+            )
+            .withColumn("__lrank", F.row_number().over(w_salt))
+            .where(F.col("__lrank") <= budget)
+            .drop("__salt", "__lrank")
+        )
 
     w_dom = Window.partitionBy("domain").orderBy("priority", "url")
     ranked = ok.withColumn("rank_in_domain", F.row_number().over(w_dom))
