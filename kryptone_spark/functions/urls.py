@@ -56,8 +56,32 @@ def host(url: Column) -> Column:
     )
 
 
+# CPython urllib.parse.uses_params — urlparse only splits ';params'
+# off the path for these schemes (note '' IS in the list)
+_USES_PARAMS = (
+    "", "ftp", "hdl", "prospero", "http", "imap", "https", "shttp",
+    "rtsp", "rtspu", "sip", "sips", "mms", "sftp", "tel",
+)
+
+
 def path(url: Column) -> Column:
-    return _part(url, 3)
+    """The reference parses with ``urlparse`` (urls.py:94), whose path
+    EXCLUDES the ';params' suffix of the last segment (CPython
+    ``_splitparams``: first ';' at-or-after the last '/') — but only
+    for schemes in ``uses_params``. ``;[^/]*$`` is exactly that split."""
+    raw = _part(url, 3)
+    return F.when(
+        scheme(url).isin(*_USES_PARAMS),
+        F.regexp_replace(raw, ";[^/]*$", ""),
+    ).otherwise(raw)
+
+
+def params(url: Column) -> Column:
+    """urlparse's 6-tuple ``params`` component (last-segment ';...')."""
+    return F.when(
+        scheme(url).isin(*_USES_PARAMS),
+        F.regexp_extract(_part(url, 3), ";([^/]*)$", 1),
+    ).otherwise(F.lit(""))
 
 
 def query(url: Column) -> Column:

@@ -1,0 +1,92 @@
+"""Property test: the native URL splitter vs the reference's parser.
+
+The reference's URL object wraps ``urllib.parse.urlparse``
+(/root/reference/kryptone/utils/urls.py:94); the engine re-expresses
+the split as one RFC-3986 regex (kryptone_spark/functions/urls.py).
+This test fuzzes a seeded corpus of adversarial URLs — userinfo,
+ports, IPv6 brackets, %-escapes, empty components, embedded
+tab/newline (urllib strips them before splitting), unicode, '#'/'?'
+permutations — and asserts component-exact agreement with urlparse in
+ONE Spark job.
+"""
+
+from __future__ import annotations
+
+import random
+import urllib.parse
+
+from pyspark.sql import functions as F
+
+from kryptone_spark.functions import urls as U
+
+SCHEMES = ["http", "https", "HTTP", "ftp", "a+b-c.d", ""]
+HOSTS = [
+    "example.com", "EXAMPLE.com", "sub.shop.example.co.uk", "localhost",
+    "127.0.0.1", "[::1]", "[2001:db8::1]:8080", "user:pw@example.com",
+    "example.com:8443", "xn--bcher-kva.example", "",
+]
+PATHS = [
+    "", "/", "/a", "/a/b/c", "/a//b", "/a/b/", "/%20space", "/café",
+    "/img/photo.jpg", "/file.tar.gz", "/.hidden", "/trailing.", "/a;params",
+    "/with\ttab", "/with\nnewline", "/products",
+]
+QUERIES = ["", "a=1", "a=1&b=2", "a=1&a=2", "page=", "=nokey", "a%3D1", "&&a=1"]
+FRAGS = ["", "top", "sec-1", "a#b", "?notquery"]
+
+
+def gen_urls(n: int, seed: int = 42) -> list[str]:
+    rng = random.Random(seed)
+    out = []
+    for _ in range(n):
+        s = rng.choice(SCHEMES)
+        h = rng.choice(HOSTS)
+        p = rng.choice(PATHS)
+        q = rng.choice(QUERIES)
+        f = rng.choice(FRAGS)
+        url = ""
+        if s:
+            url += s + ":"
+        if h or rng.random() < 0.3:
+            url += "//" + h
+        url += p
+        if q:
+            url += "?" + q
+        if f:
+            url += "#" + f
+        out.append(url)
+    # hand-picked regressions
+    out += [
+        "http://a/x?q=1#frag#frag2",
+        "//network/path",
+        "relative/seg",
+        "/rooted/seg",
+        "http:opaque-no-slashes",
+        "HTTPS://UPPER.example/PATH?Q=V#F",
+        "http://h\t.co/\nm",
+        "?leading-query",
+        "#only-frag",
+        "",
+    ]
+    return out
+
+
+def test_url_split_matches_urlparse(spark):
+    urls = gen_urls(400)
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = df.select(
+        "url",
+        U.scheme(F.col("url")).alias("s"),
+        U.netloc(F.col("url")).alias("n"),
+        U.path(F.col("url")).alias("p"),
+        U.query(F.col("url")).alias("q"),
+        U.fragment(F.col("url")).alias("f"),
+    ).collect()
+    assert len(got) == len(urls)
+    mismatches = []
+    for row in got:
+        exp = urllib.parse.urlparse(row["url"])
+        want = (exp.scheme, exp.netloc, exp.path, exp.query, exp.fragment)
+        have = (row["s"], row["n"], row["p"], row["q"], row["f"])
+        if want != have:
+            mismatches.append((row["url"], want, have))
+    assert not mismatches, mismatches[:10]
