@@ -478,6 +478,33 @@ def q_emb_label_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---- Spark-only (no SQL oracle → rows-only check) -------------------------
 
+def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, label-blocked (the quadratic
+    self-join is bounded by the blocking key; LSH buckets at scale)."""
+    from kryptone_spark.operators import simsearch
+
+    emb = _load(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.expr("transform(embedding, x -> cast(x as double))")
+    )
+    return simsearch.near_dup_pairs(emb, min_sim=0.30, block_col="label")
+
+
+def q_emb_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN (the scale path for emb_cosine_topk): bucket
+    join prunes candidates before exact cosine re-scoring. Spark-only
+    (the signature derives ±1 hyperplanes from md5 — no portable SQL
+    form), checked rows-only by the driver."""
+    from kryptone_spark.operators import simsearch
+
+    emb = _load(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.expr("transform(embedding, x -> cast(x as double))")
+    )
+    queries = emb.where("vec_id < 3").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return simsearch.lsh_topk(emb, queries, k=5, n_planes=4)
+
+
 def q_crawl_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full wave-loop crawl of the synthetic interleaved-document site
     (the BASELINE.json north capability). Not SQL-expressible (iterative
@@ -699,6 +726,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_tfidf": q_docs_tfidf,
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_label_norms": q_emb_label_norms,
+        "emb_near_dup": q_emb_near_dup,
+        "emb_lsh_ann": q_emb_lsh_ann,
         "route_dispatch": q_route_dispatch,
         "robots_join": q_robots_join,
         "url_distribution": q_url_distribution,
@@ -1026,6 +1055,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT label, count(*) AS n,
                    round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS avg_norm
             FROM embeddings GROUP BY label
+        """,
+        "emb_near_dup": """
+            WITH e AS (
+              SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+            SELECT a.label,
+                   a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_dot_product(a.v, b.v)
+                         / (sqrt(list_dot_product(a.v, a.v))
+                            * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+            FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE round(list_dot_product(a.v, b.v)
+                        / (sqrt(list_dot_product(a.v, a.v))
+                           * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.30
         """,
         "route_dispatch": f"""
             WITH {URLS_CTE.strip()}

@@ -121,3 +121,35 @@ def lsh_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim", "rank")
     )
+
+
+def near_dup_pairs(
+    embeddings: DataFrame,
+    min_sim: float,
+    block_col: str | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the dedup-family ANN op):
+    all (a, b) with cosine ≥ min_sim. ``block_col`` restricts the
+    self-join to a blocking key (label, LSH bucket, shard) — at 100 TB
+    the unblocked self-join is quadratic, so callers block on an LSH
+    bucket from ``hyperplane_signature`` (recall tunable via planes) or
+    a coarse cluster id; within-block scoring is one shuffled
+    equi-join + codegen dot products, no Python."""
+    keys = [block_col] if block_col else []
+    a = embeddings.select(
+        *keys, F.col(id_col).alias("vec_a"), F.col(vec_col).alias("__va")
+    )
+    b = embeddings.select(
+        *keys, F.col(id_col).alias("vec_b"), F.col(vec_col).alias("__vb")
+    )
+    joined = a.join(b, keys) if keys else a.crossJoin(b)
+    return (
+        joined.where(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            *keys, "vec_a", "vec_b",
+            F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("sim"),
+        )
+        .where(F.col("sim") >= min_sim)
+    )

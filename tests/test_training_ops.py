@@ -182,3 +182,28 @@ def test_resize_images(media):
 def test_sample_frames(media):
     rows = multimodal.sample_frames(media, every_ms=1000).collect()
     assert {(r["frame_idx"], r["ts_ms"]) for r in rows} == {(0, 0), (1, 1000), (2, 2000), (3, 3000)}
+
+
+def test_near_dup_pairs(spark):
+    """Embedding-cosine near-dup: hand-computed cosines, blocked and
+    unblocked paths."""
+    rows = [
+        (1, "x", [1.0, 0.0]),
+        (2, "x", [1.0, 0.0]),      # identical to 1 -> sim 1.0
+        (3, "x", [1.0, 1.0]),      # 45 deg to 1 -> ~0.707107
+        (4, "y", [0.0, 1.0]),      # other block; orthogonal to 1
+        (5, "y", [0.0, 2.0]),      # identical direction to 4
+    ]
+    emb = spark.createDataFrame(rows, "vec_id int, label string, embedding array<double>")
+    got = {
+        (r["vec_a"], r["vec_b"]): r["sim"]
+        for r in simsearch.near_dup_pairs(emb, min_sim=0.5, block_col="label").collect()
+    }
+    assert got == {(1, 2): 1.0, (1, 3): 0.707107, (2, 3): 0.707107, (4, 5): 1.0}
+    # unblocked: the cross-block (1,4) orthogonal pair stays excluded
+    # by threshold, everything >= 0.5 appears regardless of label
+    un = {
+        (r["vec_a"], r["vec_b"])
+        for r in simsearch.near_dup_pairs(emb, min_sim=0.5).collect()
+    }
+    assert un == {(1, 2), (1, 3), (2, 3), (4, 5), (3, 4), (3, 5)}
