@@ -1,0 +1,105 @@
+"""Plan-shape regression tests — the physical plans the engine promises.
+
+These pin the properties that matter at 100 TB and that silently rot:
+filter pushdown reaching the parquet scan, column pruning, broadcast
+joins for small dims, zero/one-exchange shapes for the hot pipeline
+stages, and no Python evaluation nodes in the data path.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kryptone_spark.config import CrawlConfig
+from kryptone_spark.operators import admission, schedule
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    spark = df.sparkSession
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+@pytest.fixture(scope="module")
+def entry():
+    import __spark_entry__ as e
+    return e
+
+
+def test_pricing_pushdown_and_pruning(spark, entry):
+    plan = plan_of(entry.queries()["lineitem_pricing"](spark, SF))
+    # the shipdate filter must reach the parquet scan
+    assert "LessThanOrEqual(l_shipdate" in plan
+    # column pruning: the scan reads only the 6 needed columns
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_tax" not in read and "l_orderkey" not in read
+    assert read.count(":") >= 6
+
+
+def test_revenue_chain_broadcasts_dims(spark, entry):
+    import re
+
+    plan = plan_of(entry.queries()["revenue_by_nation"](spark, SF))
+    # all three dims broadcast at test scale; the fact table streams
+    # (formatted explain lists each operator once in the tree and once
+    # as a numbered detail header — count the detail headers)
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_semi_and_anti_joins(spark, entry):
+    assert "LeftSemi" in plan_of(entry.queries()["customer_semi_join"](spark, SF))
+    assert "LeftAnti" in plan_of(entry.queries()["part_anti_join"](spark, SF))
+
+
+def test_admission_is_one_codegen_stage_no_shuffle(spark):
+    """Stateless admission (P1-P13 minus membership) must compile to a
+    map-only plan: zero exchanges, zero Python eval nodes."""
+    links = spark.range(100).select(
+        F.concat(F.lit("http://site0.test/p-"), F.col("id")).alias("url")
+    )
+    config = CrawlConfig(
+        start_urls=["http://site0.test/"], ignore_images=True,
+        gather_ignore_tests=[r"/x/"], rule_tests=[],
+    )
+    plan = plan_of(admission.admit(links, config, allow_home=False))
+    assert "Exchange" not in plan
+    # formatted explain tags codegen'd operators with [codegen id : N];
+    # every operator must be in stage 1 (one span, no boundary)
+    assert "[codegen id : 1]" in plan and "[codegen id : 2]" not in plan
+    assert "EvalPython" not in plan  # no row- or arrow-Python in the path
+
+
+def test_politeness_schedule_single_exchange(spark):
+    """The W1 window costs exactly one hash exchange on domain
+    (unsalted form); salting adds exactly one more."""
+    frontier = spark.range(1000).select(
+        F.concat(F.lit("http://site"), (F.col("id") % 5), F.lit(".test/p-"), F.col("id")).alias("url"),
+        F.concat(F.lit("site"), (F.col("id") % 5), F.lit(".test")).alias("domain"),
+        F.lit(0).alias("domain_bucket"),
+        F.lit(0).alias("depth"),
+        F.lit(0).alias("discovered_wave"),
+        F.lit(0.0).alias("priority"),
+    )
+    import re
+
+    def n_exchanges(df) -> int:
+        return len(re.findall(r"\(\d+\) Exchange", plan_of(df)))
+
+    config = CrawlConfig(max_per_domain_per_wave=10, wait_time=1.0)
+    batch, _ = schedule.politeness_schedule(frontier, config, wave=0, global_rank=False)
+    assert n_exchanges(batch) == 1
+    salted, _ = schedule.politeness_schedule(
+        frontier, config, wave=0, global_rank=False, salt_buckets=8
+    )
+    assert n_exchanges(salted) == 2
+
+
+def test_seen_antijoin_no_python(spark, entry):
+    plan = plan_of(entry.queries()["seen_antijoin"](spark, SF))
+    assert "LeftAnti" in plan
+    assert "EvalPython" not in plan
