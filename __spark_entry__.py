@@ -478,6 +478,53 @@ def q_emb_label_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---- Spark-only (no SQL oracle → rows-only check) -------------------------
 
+def _interleaved_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic interleaved documents (the input_hint shape:
+    doc_id + ordered spans of kind text/link/image/email) synthesized
+    from the flat documents table — identical arithmetic in the
+    DOCS_SPANS oracle CTE."""
+    d = _load(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    mk = lambda kind, text, ref, off: F.struct(
+        F.lit(kind).alias("kind"), text.alias("text"),
+        ref.alias("media_ref"), F.lit(off).cast("int").alias("offset"),
+    )
+    return d.select(
+        did.alias("doc_id"),
+        F.array(
+            mk("text", F.substring("text", 1, 40), F.lit(""), 0),
+            mk("link", F.lit("next"),
+               F.concat(F.lit("https://docs.test/doc-"), ((F.col("doc_id") + 1) % 500).cast("string")), 1),
+            mk("text", F.substring("text", 41, 40), F.lit(""), 2),
+            mk("image", F.concat(F.lit("alt-"), did),
+               F.concat(F.lit("https://img.test/i-"), did, F.lit(".jpg")), 3),
+            mk("email", F.concat(F.lit("c"), did, F.lit("@docs.test")), F.lit(""), 4),
+        ).alias("spans"),
+    )
+
+
+def q_doc_spans_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7/S8/S9 + F7 over the interleaved span shape: per page, the
+    document-order text join, out-link, image (alt, src) and email —
+    the input_hint's span-sequence invariant under the oracle gate."""
+    from kryptone_spark.operators import extract
+
+    docs = _interleaved_docs(spark, sf_dir)
+    text = extract.page_text(docs)
+    links = extract.page_links(docs).groupBy(F.col("src_url").alias("doc_id")).agg(
+        F.count("*").alias("n_links"), F.min("url").alias("first_link")
+    )
+    images = extract.page_images(docs).select(
+        F.col("page_url").alias("doc_id"), F.col("alt"), F.col("src")
+    )
+    emails = extract.page_emails(docs).groupBy("doc_id").agg(
+        F.min("email").alias("email")
+    )
+    return (
+        text.join(links, "doc_id").join(images, "doc_id").join(emails, "doc_id")
+    )
+
+
 def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, label-blocked (the quadratic
     self-join is bounded by the blocking key; LSH buckets at scale)."""
@@ -726,6 +773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_tfidf": q_docs_tfidf,
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_label_norms": q_emb_label_norms,
+        "doc_spans_extract": q_doc_spans_extract,
         "emb_near_dup": q_emb_near_dup,
         "emb_lsh_ann": q_emb_lsh_ann,
         "route_dispatch": q_route_dispatch,
@@ -1055,6 +1103,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT label, count(*) AS n,
                    round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS avg_norm
             FROM embeddings GROUP BY label
+        """,
+        "doc_spans_extract": """
+            SELECT doc_id::VARCHAR AS doc_id,
+                   substr(text, 1, 40) || ' ' || substr(text, 41, 40) AS text,
+                   1::BIGINT AS n_links,
+                   'https://docs.test/doc-' || ((doc_id + 1) % 500) AS first_link,
+                   'alt-' || doc_id AS alt,
+                   'https://img.test/i-' || doc_id || '.jpg' AS src,
+                   'c' || doc_id || '@docs.test' AS email
+            FROM documents
         """,
         "emb_near_dup": """
             WITH e AS (
