@@ -525,6 +525,45 @@ def q_doc_spans_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_product_models(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scraped-item model shape (contrib/models.py:59-121 Product):
+    typed StructType row with array fields, derived complex_name
+    (models.py:115-121), collection-id regex (models.py:100-113),
+    number_of_images property — the dataclass → DataFrame mapping."""
+    from kryptone_spark.functions import text as TXT
+
+    p = _load(spark, sf_dir, "part")
+    pid = F.col("p_partkey").cast("string")
+    url = F.concat(F.lit("https://shop.test/product-"), pid)
+    images = F.sort_array(
+        F.array(
+            F.concat(F.lit("https://img.test/p"), pid, F.lit("-1.jpg")),
+            F.concat(F.lit("https://img.test/p"), pid, F.lit("-2.jpg")),
+        )
+    )
+    sizes = F.array(
+        F.concat(F.lit("EU"), F.col("p_size").cast("string")),
+        F.when(F.col("p_size") < 15, F.lit("S"))
+        .when(F.col("p_size") < 30, F.lit("M"))
+        .otherwise(F.lit("L")),
+    )
+    return p.select(
+        F.col("p_partkey").alias("product_id"),
+        F.col("p_name").alias("name"),
+        F.concat(
+            F.regexp_replace(TXT.normalize_spaces(F.col("p_name")), " ", "_"),
+            F.lit("_"), pid,
+        ).alias("complex_name"),
+        url.alias("url"),
+        F.regexp_extract(url, "product-([0-9]+)", 1).alias("collection_id"),
+        F.round(F.col("p_retailprice"), 2).alias("price"),
+        images.alias("images"),
+        F.size(images).alias("number_of_images"),
+        sizes.alias("sizes"),
+        (F.col("p_partkey") % 7 == 0).alias("out_of_stock"),
+    )
+
+
 def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, label-blocked (the quadratic
     self-join is bounded by the blocking key; LSH buckets at scale)."""
@@ -774,6 +813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_label_norms": q_emb_label_norms,
         "doc_spans_extract": q_doc_spans_extract,
+        "product_models": q_product_models,
         "emb_near_dup": q_emb_near_dup,
         "emb_lsh_ann": q_emb_lsh_ann,
         "route_dispatch": q_route_dispatch,
@@ -1103,6 +1143,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT label, count(*) AS n,
                    round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS avg_norm
             FROM embeddings GROUP BY label
+        """,
+        "product_models": """
+            SELECT p_partkey AS product_id,
+                   p_name AS name,
+                   replace(trim(regexp_replace(p_name, ' +', ' ', 'g')), ' ', '_')
+                     || '_' || p_partkey AS complex_name,
+                   'https://shop.test/product-' || p_partkey AS url,
+                   p_partkey::VARCHAR AS collection_id,
+                   round(p_retailprice, 2) AS price,
+                   list_sort(list_value(
+                     'https://img.test/p' || p_partkey || '-1.jpg',
+                     'https://img.test/p' || p_partkey || '-2.jpg')) AS images,
+                   2 AS number_of_images,
+                   list_value('EU' || p_size,
+                     CASE WHEN p_size < 15 THEN 'S'
+                          WHEN p_size < 30 THEN 'M' ELSE 'L' END) AS sizes,
+                   (p_partkey % 7 = 0) AS out_of_stock
+            FROM part
         """,
         "doc_spans_extract": """
             SELECT doc_id::VARCHAR AS doc_id,
