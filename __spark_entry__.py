@@ -232,11 +232,14 @@ def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
         ).alias("rev_d")
     )
-    w = Window.orderBy(F.desc("rev_d"), F.asc("o_orderkey"))
+    from kryptone_spark.functions.rank import ranked_top_k
+
     return (
-        rev.join(orders, rev["l_orderkey"] == orders["o_orderkey"])
-        .withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= 10)
+        ranked_top_k(
+            rev.join(orders, rev["l_orderkey"] == orders["o_orderkey"]),
+            [F.desc("rev_d"), F.asc("o_orderkey")],
+            10,
+        )
         .select(
             "o_orderkey", "o_orderpriority",
             F.round(F.col("rev_d").cast("double"), 2).alias("revenue"),
@@ -423,8 +426,9 @@ def q_docs_wordfreq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("word")
     ).where(F.col("word") != "")
     counts = toks.groupBy("word").agg(F.count("*").alias("freq"))
-    w = Window.orderBy(F.desc("freq"), F.asc("word"))
-    return counts.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= 20)
+    from kryptone_spark.functions.rank import ranked_top_k
+
+    return ranked_top_k(counts, [F.desc("freq"), F.asc("word")], 20)
 
 
 def q_docs_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -716,10 +720,12 @@ def q_frontier_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     regex-matched URLs first, then lexicographic."""
     urls = _urls_from_orders(_load(spark, sf_dir, "orders"))
     matched = F.col("url").rlike("/products")
-    w = Window.orderBy(F.desc("matched"), F.asc("url"))
-    return (
-        urls.select("url", matched.alias("matched"))
-        .withColumn("rk", F.row_number().over(w))
+    from kryptone_spark.functions.rank import global_row_number
+
+    return global_row_number(
+        urls.select("url", matched.alias("matched")),
+        [F.desc("matched"), F.asc("url")],
+        out_col="rk",
     )
 
 

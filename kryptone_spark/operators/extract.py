@@ -96,11 +96,18 @@ def word_frequency(documents: DataFrame, per_page: bool = False, top_k: int | No
     keys = ["doc_id", "word"] if per_page else ["word"]
     counts = toks.groupBy(*keys).agg(F.count("*").alias("freq"))
     if top_k is not None:
-        part = Window.partitionBy("doc_id") if per_page else Window.partitionBy()
-        w = part.orderBy(F.desc("freq"), F.asc("word"))
-        counts = counts.withColumn("rank", F.row_number().over(w)).where(
-            F.col("rank") <= top_k
-        )
+        order = [F.desc("freq"), F.asc("word")]
+        if per_page:
+            w = Window.partitionBy("doc_id").orderBy(*order)
+            counts = counts.withColumn("rank", F.row_number().over(w)).where(
+                F.col("rank") <= top_k
+            )
+        else:
+            # site-wide top-k: TakeOrderedAndProject (per-partition heap
+            # + driver merge of k rows), never a single-partition window
+            from kryptone_spark.functions.rank import ranked_top_k
+
+            counts = ranked_top_k(counts, order, top_k, out_col="rank")
     return counts
 
 

@@ -112,13 +112,17 @@ def politeness_schedule(
             + (F.col("rank_in_domain") - 1) * F.col("crawl_delay")
         ),
     )
-    # rank_in_wave: the oracle's global lexicographic processing order.
-    # A single-partition sort — exact parity artifact for golden-order
-    # tests; disable (global_rank=False) for production-size batches
-    # where per-domain rank is the only ordering politeness needs.
+    # rank_in_wave: the oracle's global lexicographic processing order —
+    # computed as a two-phase range-partitioned rank (functions/rank.py)
+    # so no single task ever sorts the whole batch; disable
+    # (global_rank=False) when per-domain rank is the only ordering
+    # politeness needs.
     if global_rank:
-        w_wave = Window.orderBy("url")
-        batch = batch.withColumn("rank_in_wave", F.row_number().over(w_wave) - 1)
+        from kryptone_spark.functions.rank import global_row_number
+
+        batch = global_row_number(
+            batch, [F.asc("url")], out_col="rank_in_wave", start=0
+        )
     else:
         batch = batch.withColumn("rank_in_wave", F.lit(None).cast("int"))
     batch = batch.withColumn("wave", F.lit(wave)).drop("robots_blocked")
