@@ -597,9 +597,10 @@ def q_emb_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_crawl_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full wave-loop crawl of the synthetic interleaved-document site
-    (the BASELINE.json north capability). Not SQL-expressible (iterative
-    frontier feedback); correctness is pinned by tests/test_crawl_e2e.py
-    against the Python oracle."""
+    (the BASELINE.json north capability). Value-verified two ways: the
+    Python oracle replay (tests/test_crawl_e2e.py) and an independent
+    DuckDB recursive-CTE BFS over the same inlined link spans
+    (_crawl_flagship_oracle)."""
     import tempfile
 
     from kryptone_spark.config import CrawlConfig
@@ -870,8 +871,78 @@ _LANG_COLS = ", ".join(
 )
 
 
+def _crawl_flagship_oracle() -> str:
+    """Self-contained DuckDB oracle for the flagship wave-loop crawl.
+
+    The same deterministic synthetic site the Spark query crawls is
+    inlined as raw (src, href) link spans — the INPUT, not any computed
+    result — and the entire crawl is re-derived independently in SQL:
+    relative-URL resolution, the admission predicates active under the
+    flagship config (same-domain, non-empty, fragment-drop, image-
+    suffix drop), BFS via a recursive CTE (UNION-dedup on (url, wave),
+    first-fetch wave = MIN over walks — identical to BFS depth since
+    every admitted URL is fetched the wave after discovery under an
+    unbounded politeness budget), and the lexicographic rank_in_wave
+    contract. Cycles terminate via the wave cap (site depth < 16)."""
+    from kryptone_spark.config import CrawlConfig
+    from kryptone_spark.synth import synth_site
+
+    site = synth_site(n_domains=1, n_products=8, page_size=4, seed=42)
+    config = CrawlConfig(start_urls=["http://sitea.test/"], ignore_images=True)
+    vals = ",\n              ".join(
+        "('{}', '{}')".format(
+            r["doc_id"].replace("'", "''"), s["media_ref"].replace("'", "''")
+        )
+        for r in site
+        for s in r["spans"]
+        if s["kind"] == "link"
+    )
+    exts = ", ".join(f"'{e}'" for e in config.image_extensions)
+    return f"""
+        WITH RECURSIVE edges(src, href) AS (
+            VALUES {vals}
+        ),
+        resolved AS (
+            SELECT src,
+                   CASE WHEN href LIKE '/%' AND href NOT LIKE '//%'
+                        THEN 'http://sitea.test' || trim(href)
+                        ELSE href END AS url
+            FROM edges
+        ),
+        admitted AS (
+            SELECT DISTINCT src, url FROM resolved
+            WHERE url <> ''
+              AND NOT contains(url, '#')
+              AND regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) = 'sitea.test'
+              AND COALESCE(
+                    CASE WHEN contains(url, '?')
+                         THEN regexp_extract(regexp_extract(url,
+                                '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+                                '[^./](\\.[^./]+)$', 1)
+                         ELSE regexp_extract(url, '[^./](\\.[^./]+)$', 1)
+                    END, '') NOT IN ({exts})
+        ),
+        walk(url, wave) AS (
+            SELECT 'http://sitea.test/' AS url, 0 AS wave
+            UNION
+            SELECT a.url, w.wave + 1
+            FROM walk w JOIN admitted a ON a.src = w.url
+            WHERE w.wave < 16
+        ),
+        first_fetch AS (
+            SELECT url, MIN(wave) AS wave FROM walk GROUP BY url
+        )
+        SELECT CAST(wave AS INT) AS wave,
+               CAST(row_number() OVER (PARTITION BY wave ORDER BY url) - 1 AS INT) AS rank_in_wave,
+               url
+        FROM first_fetch
+        ORDER BY wave, rank_in_wave
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "crawl_flagship": _crawl_flagship_oracle(),
         "url_parts": f"""
             WITH {URLS_CTE.strip()}
             SELECT k, url,
