@@ -57,6 +57,75 @@ def windowed_fetch_stats(stream: DataFrame, window: str = "1 minute") -> DataFra
     )
 
 
+POLITENESS_AUDIT = T.StructType(
+    [
+        T.StructField("domain", T.StringType(), False),
+        T.StructField("url", T.StringType(), False),
+        T.StructField("fetch_ts", T.TimestampType(), False),
+        T.StructField("gap_s", T.DoubleType(), True),
+        T.StructField("violation", T.BooleanType(), False),
+    ]
+)
+
+_AUDIT_STATE = T.StructType([T.StructField("last_ts", T.DoubleType(), True)])
+
+
+def politeness_audit_stream(
+    stream: DataFrame, crawl_delay: float = 25.0
+) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-domain
+    politeness enforcement over the live fetch stream.
+
+    The reference enforces politeness by sleeping WAIT_TIME between its
+    single domain's page visits (/root/reference/kryptone/base.py:1185-1194);
+    batch-side the engine *assigns* fetch_at slots (operators/schedule.py).
+    This operator closes the loop on the ingest side: state = the last
+    observed fetch timestamp per domain (one double — O(domains) state,
+    not O(events)); every arriving fetch emits its gap to the previous
+    fetch on that domain and a violation flag when the gap undercuts
+    the crawl delay. Arrow-batched pandas per group — no per-row Python.
+    """
+    import pandas as pd  # noqa: F401 — vectorized path
+
+    def audit(key, pdf_iter, state):
+        import pandas as pd
+
+        (domain,) = key
+        last = state.get[0] if state.exists else None
+        events = pd.concat(list(pdf_iter)).sort_values("fetch_ts")
+        ts = events["fetch_ts"].astype("int64") / 1e9
+        gaps = ts.diff()  # vectorized; first row vs carried state
+        if last is not None and len(ts):
+            gaps.iloc[0] = float(ts.iloc[0]) - last
+        if len(ts):
+            state.update((float(ts.iloc[-1]),))
+        yield pd.DataFrame(
+            {
+                "domain": domain,
+                "url": events["url"].values,
+                "fetch_ts": events["fetch_ts"].values,
+                # NaN would survive Arrow as a double NaN — emit a real
+                # NULL for "no previous fetch on this domain"
+                "gap_s": gaps.astype(object).where(gaps.notna(), None).values,
+                "violation": (gaps < crawl_delay).fillna(False).values,
+            }
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        stream.withColumn("domain", U.host(F.col("url")))
+        .groupBy("domain")
+        .applyInPandasWithState(
+            audit,
+            outputStructType=POLITENESS_AUDIT,
+            stateStructType=_AUDIT_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def run_visited_merge(
     stream: DataFrame, io: TableIO, checkpoint_dir: str, n_buckets: int = 64
 ):

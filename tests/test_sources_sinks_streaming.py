@@ -151,3 +151,50 @@ def test_streaming_ingest(spark, tmp_path):
         (r["domain"], r["n_fetched"], r["n_errors"]) for r in stats.collect()
     }
     assert ("a.test", 2, 1) in got and ("b.test", 1, 0) in got
+
+
+def test_politeness_audit_stateful_stream(spark, tmp_path):
+    """applyInPandasWithState: per-domain last-fetch state must carry
+    ACROSS micro-batches (maxFilesPerTrigger=1 forces two batches), so
+    the first event of batch 2 gets a gap vs batch 1's last event."""
+    from kryptone_spark.streaming import ingest
+
+    results = tmp_path / "results"
+    results.mkdir()
+    batch1 = [
+        {"url": "http://a.test/1", "fetch_ts": "2024-01-01T00:00:00.000Z", "status": 200, "n_links": 1},
+        {"url": "http://a.test/2", "fetch_ts": "2024-01-01T00:00:30.000Z", "status": 200, "n_links": 1},
+        {"url": "http://b.test/1", "fetch_ts": "2024-01-01T00:00:10.000Z", "status": 200, "n_links": 1},
+    ]
+    batch2 = [
+        # 5s after a.test/2 → violation under crawl_delay=25
+        {"url": "http://a.test/3", "fetch_ts": "2024-01-01T00:00:35.000Z", "status": 200, "n_links": 1},
+        # 50s after b.test/1 → polite
+        {"url": "http://b.test/2", "fetch_ts": "2024-01-01T00:01:00.000Z", "status": 200, "n_links": 1},
+    ]
+    (results / "b1.json").write_text("\n".join(json.dumps(r) for r in batch1))
+    (results / "b2.json").write_text("\n".join(json.dumps(r) for r in batch2))
+
+    stream = (
+        spark.readStream.schema(ingest.FETCH_RESULT)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(results))
+    )
+    audited = ingest.politeness_audit_stream(stream, crawl_delay=25.0)
+    q = (
+        audited.writeStream.format("memory")
+        .queryName("politeness_audit")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_audit"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    rows = {r["url"]: r for r in spark.sql("select * from politeness_audit").collect()}
+    assert len(rows) == 5
+    assert rows["http://a.test/1"]["gap_s"] is None
+    assert rows["http://a.test/2"]["gap_s"] == 30.0
+    assert not rows["http://a.test/2"]["violation"]  # 30 >= 25
+    assert rows["http://a.test/3"]["gap_s"] == 5.0 and rows["http://a.test/3"]["violation"]
+    assert rows["http://b.test/2"]["gap_s"] == 50.0 and not rows["http://b.test/2"]["violation"]
