@@ -595,6 +595,24 @@ def q_emb_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simsearch.lsh_topk(emb, queries, k=5, n_planes=4)
 
 
+def q_emb_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (KMeans coarse quantizer, cell-pruned candidate scan).
+    Run at n_probe = n_cells, where IVF provably degrades to exact
+    search — so the brute-force SQL oracle pins its values regardless
+    of the trained centroids; partial-probe recall is covered by
+    tests/test_training_ops.py."""
+    from kryptone_spark.operators import simsearch
+
+    emb = _load(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.expr("transform(embedding, x -> cast(x as double))")
+    )
+    queries = emb.where("vec_id >= 3 and vec_id < 6").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = simsearch.train_ivf_centroids(emb, n_cells=4, seed=42, max_iter=5)
+    return simsearch.ivf_topk(emb, queries, cents, k=4, n_probe=4)
+
+
 def q_crawl_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full wave-loop crawl of the synthetic interleaved-document site
     (the BASELINE.json north capability). Value-verified two ways: the
@@ -823,6 +841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "product_models": q_product_models,
         "emb_near_dup": q_emb_near_dup,
         "emb_lsh_ann": q_emb_lsh_ann,
+        "emb_ivf_ann": q_emb_ivf_ann,
         "route_dispatch": q_route_dispatch,
         "robots_join": q_robots_join,
         "url_distribution": q_url_distribution,
@@ -1215,6 +1234,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, sim,
                    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id)::INTEGER AS rank
             FROM s QUALIFY rank <= 5
+        """,
+        "emb_ivf_ann": """
+            WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                       FROM embeddings WHERE vec_id >= 3 AND vec_id < 6),
+            s AS (
+              SELECT q.query_id, e.vec_id AS neighbor_id,
+                     round(list_dot_product(e.embedding::DOUBLE[], q.qv)
+                           / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                              * sqrt(list_dot_product(q.qv, q.qv))), 6) AS sim
+              FROM embeddings e CROSS JOIN q)
+            SELECT query_id, neighbor_id, sim,
+                   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id)::INTEGER AS rank
+            FROM s QUALIFY rank <= 4
         """,
         "emb_label_norms": """
             SELECT label, count(*) AS n,

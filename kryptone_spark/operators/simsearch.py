@@ -123,6 +123,96 @@ def lsh_topk(
     )
 
 
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    n_cells: int = 8,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 20,
+) -> list[list[float]]:
+    """IVF coarse quantizer: k-means cell centroids via Spark MLlib
+    (distributed fit — at 100 TB, train on a sample(frac) instead of
+    the full table; assignment below is a full-scan either way).
+    Returns plain Python lists so downstream assignment folds the
+    centroids into plan-time literals — the whole index build stays
+    JVM-side codegen, no Python in the scan."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = embeddings.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(feats)
+    return [[float(x) for x in c] for c in model.clusterCenters()]
+
+
+def _sqdist_to(vec, centroid: list[float]):
+    c = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(vec, c, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def ivf_cell(vec, centroids: list[list[float]]):
+    """Nearest-centroid cell id (0-based) — argmin over constant
+    centroid arrays, one codegen expression."""
+    dists = F.array(*[_sqdist_to(vec, c) for c in centroids])
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def _probe_cells(vec, centroids: list[list[float]], n_probe: int):
+    """Ids of the n_probe nearest cells: sort (dist, id) structs —
+    struct ordering is field-lexicographic — then project ids."""
+    tagged = F.array(
+        *[
+            F.struct(_sqdist_to(vec, c).alias("d"), F.lit(i).alias("i"))
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return F.slice(
+        F.transform(F.array_sort(tagged), lambda s: s["i"]), 1, n_probe
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: candidates = vectors whose cell is among the query's
+    n_probe nearest cells; exact cosine re-scores candidates only.
+
+    The 100 TB shape: ``ivf_cell`` is computed once at ingest and the
+    table is partitioned/bucketed by it, so a query's scan prunes to
+    n_probe/n_cells of the data; the (tiny) query side explodes to
+    (query, cell) pairs and broadcast-joins. n_probe = n_cells degrades
+    gracefully to exact brute force — the correctness oracle."""
+    emb_c = embeddings.withColumn("__cell", ivf_cell(F.col(vec_col), centroids))
+    q = (
+        queries.select(F.col("query_id"), F.col(vec_col).alias("q_vec"))
+        .withColumn(
+            "__cell", F.explode(_probe_cells(F.col("q_vec"), centroids, n_probe))
+        )
+    )
+    cand = emb_c.join(F.broadcast(q), "__cell").select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        F.round(cosine(F.col(vec_col), F.col("q_vec")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
 def near_dup_pairs(
     embeddings: DataFrame,
     min_sim: float,

@@ -36,6 +36,7 @@ def test_collect_only_in_declared_places():
         "kryptone_spark/plans/waves.py",          # scalar aggs + first()
         "kryptone_spark/operators/schedule.py",   # scalar agg
         "kryptone_spark/sinks/exports.py",        # guarded cache.json export
+        "kryptone_spark/functions/rank.py",       # per-partition counts: O(num_partitions)
     }
     got = set()
     for f in PKG.rglob("*.py"):

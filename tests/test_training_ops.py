@@ -207,3 +207,44 @@ def test_near_dup_pairs(spark):
         for r in simsearch.near_dup_pairs(emb, min_sim=0.5).collect()
     }
     assert un == {(1, 2), (1, 3), (2, 3), (4, 5), (3, 4), (3, 5)}
+
+
+def test_ivf_full_probe_equals_brute_force(spark, vectors):
+    """n_probe = n_cells degrades IVF to exact search — results must
+    equal brute force row-for-row, whatever the trained centroids."""
+    _, df = vectors
+    queries = df.where("vec_id in (3, 11)").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = simsearch.train_ivf_centroids(df, n_cells=4, seed=42)
+    assert len(cents) == 4 and len(cents[0]) == 8
+    got = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["sim"])
+        for r in simsearch.ivf_topk(df, queries, cents, k=4, n_probe=4).collect()
+    )
+    want = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["sim"])
+        for r in simsearch.brute_force_topk(df, queries, k=4).collect()
+    )
+    assert got == want
+
+
+def test_ivf_partial_probe_recall_and_pruning(spark, vectors):
+    """n_probe < n_cells: every query still self-hits (its own cell is
+    always probed first), and the candidate set is pruned below N·Q."""
+    _, df = vectors
+    queries = df.where("vec_id in (3, 11, 20)").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = simsearch.train_ivf_centroids(df, n_cells=4, seed=42)
+    emb_c = df.withColumn("__cell", simsearch.ivf_cell(F.col("embedding"), cents))
+    sizes = {r["__cell"]: r["n"] for r in emb_c.groupBy("__cell").agg(F.count("*").alias("n")).collect()}
+    assert sum(sizes.values()) == 50 and len(sizes) > 1
+
+    got = {}
+    for r in simsearch.ivf_topk(df, queries, cents, k=3, n_probe=1).collect():
+        got.setdefault(r["query_id"], []).append((r["neighbor_id"], r["sim"]))
+    for q in (3, 11, 20):
+        hits = got.get(q, [])
+        assert (q, 1.0) in hits  # self is in the probed cell, sim 1.0
+        assert len(hits) <= 3
