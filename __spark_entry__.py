@@ -595,6 +595,38 @@ def q_emb_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simsearch.lsh_topk(emb, queries, k=5, n_planes=4)
 
 
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule URL canonicalizer (functions/urls.py:canonicalize_full,
+    SURVEY §2.2 note — STRONGER than the reference, which drops
+    fragment URLs instead of stripping, urls.py:474-492): lowercase
+    scheme+host, strip fragment, strip tracking params, normalize the
+    trailing slash on non-root paths. Corpus exercises every rule:
+    uppercase scheme/host, trailing slashes, mixed tracking+real
+    params, all-tracking queries, root paths, fragments."""
+    from kryptone_spark.config import DEFAULT_TRACKING_PARAMS
+
+    orders = _load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    ks = k.cast("string")
+    dom_mixed = F.concat(F.lit("Site"), (F.col("o_custkey") % 7).cast("string"), F.lit(".Test"))
+    dom = F.lower(dom_mixed)
+    b = k % 6
+    url = (
+        F.when(b == 0, F.concat(F.lit("HTTPS://"), dom_mixed, F.lit("/Product-"), ks, F.lit("/")))
+        .when(b == 1, F.concat(F.lit("https://"), dom, F.lit("/product-"), ks, F.lit("?utm_source=google&page=2")))
+        .when(b == 2, F.concat(F.lit("https://"), dom, F.lit("/product-"), ks, F.lit("#reviews")))
+        .when(b == 3, F.concat(F.lit("https://"), dom, F.lit("/p?gclid="), ks))
+        .when(b == 4, F.concat(F.lit("https://"), dom, F.lit("/")))
+        .otherwise(F.concat(F.lit("https://"), dom, F.lit("/a/b?x=1&fbclid="), ks, F.lit("&y=2")))
+    )
+    from kryptone_spark.functions import urls as UU
+
+    return orders.select(k.alias("k"), url.alias("url")).select(
+        "k", "url",
+        UU.canonicalize_full(F.col("url"), DEFAULT_TRACKING_PARAMS).alias("canonical"),
+    )
+
+
 def q_emb_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (KMeans coarse quantizer, cell-pruned candidate scan).
     Run at n_probe = n_cells, where IVF provably degrades to exact
@@ -842,6 +874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup": q_emb_near_dup,
         "emb_lsh_ann": q_emb_lsh_ann,
         "emb_ivf_ann": q_emb_ivf_ann,
+        "url_canonicalize": q_url_canonicalize,
         "route_dispatch": q_route_dispatch,
         "robots_join": q_robots_join,
         "url_distribution": q_url_distribution,
@@ -1234,6 +1267,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, sim,
                    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id)::INTEGER AS rank
             FROM s QUALIFY rank <= 5
+        """,
+        "url_canonicalize": """
+            WITH curls AS (
+              SELECT o_orderkey AS k,
+                     CASE o_orderkey % 6
+                       WHEN 0 THEN 'HTTPS://Site' || (o_custkey % 7) || '.Test/Product-' || o_orderkey || '/'
+                       WHEN 1 THEN 'https://site' || (o_custkey % 7) || '.test/product-' || o_orderkey || '?utm_source=google&page=2'
+                       WHEN 2 THEN 'https://site' || (o_custkey % 7) || '.test/product-' || o_orderkey || '#reviews'
+                       WHEN 3 THEN 'https://site' || (o_custkey % 7) || '.test/p?gclid=' || o_orderkey
+                       WHEN 4 THEN 'https://site' || (o_custkey % 7) || '.test/'
+                       ELSE 'https://site' || (o_custkey % 7) || '.test/a/b?x=1&fbclid=' || o_orderkey || '&y=2'
+                     END AS url
+              FROM orders),
+            parts AS (
+              SELECT k, url,
+                     lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
+                     lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hst,
+                     regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS pth,
+                     CASE WHEN contains(url, '?')
+                          THEN regexp_extract(url, '\\?([^#]*)', 1) ELSE '' END AS qry
+              FROM curls),
+            kept AS (
+              SELECT k, url, sch, hst,
+                     CASE WHEN pth = '/' THEN pth
+                          ELSE regexp_replace(pth, '/$', '') END AS pnorm,
+                     array_to_string(list_filter(string_split(qry, '&'),
+                       kv -> NOT list_contains(
+                         ['utm_source','utm_medium','utm_campaign','utm_term',
+                          'utm_content','gclid','fbclid','msclkid','mc_eid'],
+                         split_part(kv, '=', 1))), '&') AS qkept
+              FROM parts)
+            SELECT k, url,
+                   sch || '://' || hst || pnorm ||
+                   CASE WHEN qkept <> '' THEN '?' || qkept ELSE '' END AS canonical
+            FROM kept
         """,
         "emb_ivf_ann": """
             WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
