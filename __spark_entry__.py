@@ -5,8 +5,10 @@ sf0.001. ``queries()`` — one entry per implemented operator family from
 SURVEY.md §2 (+ the training-data ops). ``oracle_sql()`` — exact DuckDB
 equivalents; every hash-sensitive column is aliased identically and
 floats are computed with the same fold order / rounding in both
-engines. Spark-only entries (crawl wave loop, mapInPandas multimodal
-plumbing, approx sketches) intentionally omit the oracle → rows-only.
+engines. The flagship crawl wave loop is value-verified against an
+independent recursive-CTE BFS oracle; only genuinely engine-specific
+ops (mapInPandas multimodal plumbing, HLL sketch, hyperplane-LSH
+bucketing) omit the oracle → rows-only.
 """
 
 from __future__ import annotations
