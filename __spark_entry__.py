@@ -583,9 +583,9 @@ def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_emb_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH ANN (the scale path for emb_cosine_topk): bucket
-    join prunes candidates before exact cosine re-scoring. Spark-only
-    (the signature derives ±1 hyperplanes from md5 — no portable SQL
-    form), checked rows-only by the driver."""
+    join prunes candidates before exact cosine re-scoring. The
+    md5-derived hyperplanes are engine-portable, so the DuckDB oracle
+    (_lsh_oracle) re-derives buckets AND scores independently."""
     from kryptone_spark.operators import simsearch
 
     emb = _load(spark, sf_dir, "embeddings").withColumn(
@@ -595,6 +595,44 @@ def q_emb_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return simsearch.lsh_topk(emb, queries, k=5, n_planes=4)
+
+
+def _lsh_oracle() -> str:
+    """DuckDB oracle for emb_lsh_ann. The md5-derived ±1 hyperplanes
+    ARE portable: sign(p,i) = +1 iff conv(substr(md5('p_i'),1,4),16,10)
+    is even, and a hex number's parity is its LAST digit's parity — so
+    substr(md5(..), 4, 1) IN ('0','2','4','6','8','a','c','e') decides
+    the sign with no hex-to-int conversion at all."""
+    projs = ",\n                     ".join(
+        "list_sum(list_transform(generate_series(0, 63), i -> v[i+1] * "
+        f"(CASE WHEN substr(md5('{p}_' || i), 4, 1) IN "
+        "('0','2','4','6','8','a','c','e') THEN 1.0 ELSE -1.0 END)))"
+        f" AS proj{p}" for p in range(4)
+    )
+    bucket = " + ".join(
+        f"(CASE WHEN proj{p} > 0 THEN {1 << p} ELSE 0 END)" for p in range(4)
+    )
+    return f"""
+            WITH vecs AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            projd AS (
+              SELECT vec_id, v,
+                     {projs}
+              FROM vecs),
+            sigged AS (
+              SELECT vec_id, v, {bucket} AS bucket FROM projd),
+            q AS (SELECT vec_id AS query_id, v AS qv, bucket
+                  FROM sigged WHERE vec_id < 3),
+            cand AS (
+              SELECT q.query_id, e.vec_id AS neighbor_id,
+                     round(list_dot_product(e.v, q.qv)
+                           / (sqrt(list_dot_product(e.v, e.v))
+                              * sqrt(list_dot_product(q.qv, q.qv))), 6) AS sim
+              FROM sigged e JOIN q USING (bucket))
+            SELECT query_id, neighbor_id, sim,
+                   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id)::INTEGER AS rank
+            FROM cand QUALIFY rank <= 5
+    """
 
 
 def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1270,6 +1308,7 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id)::INTEGER AS rank
             FROM s QUALIFY rank <= 5
         """,
+        "emb_lsh_ann": _lsh_oracle(),
         "url_canonicalize": """
             WITH curls AS (
               SELECT o_orderkey AS k,
