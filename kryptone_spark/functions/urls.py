@@ -180,22 +180,69 @@ def origin_of(url: Column) -> Column:
     return F.concat(scheme(url), F.lit("://"), netloc(url))
 
 
+def remove_dot_segments(p: Column) -> Column:
+    """Dot-segment normalization for absolute paths ('/…') — the
+    normalization ``urljoin`` applies when the reference resolves
+    relative links (base.py:611-616). Mirrors CPython's urljoin
+    segment loop EXACTLY, which differs from pure RFC 3986: '..' pops
+    whatever is on the stack — including the leading root segment and
+    empty segments — and underflow is silently ignored ('/../..//b' →
+    '/b', where strict RFC yields '//b'). '.' is skipped; a trailing
+    '.'/'..' keeps the directory slash; an emptied stack re-joins to
+    '/'. One codegen aggregate fold, no UDF; '%2E' stays opaque
+    (normalization runs before any percent-decoding, as urljoin does).
+    """
+    segs = F.split(p, "/")  # leading '' is a poppable segment (CPython)
+    folded = F.aggregate(
+        segs,
+        F.array().cast("array<string>"),
+        lambda acc, s: (
+            F.when(s == ".", acc)
+            .when(
+                s == "..",
+                F.when(
+                    F.size(acc) > 0, F.slice(acc, 1, F.size(acc) - 1)
+                ).otherwise(acc),
+            )
+            .otherwise(F.concat(acc, F.array(s)))
+        ),
+    )
+    last = F.element_at(segs, -1)
+    folded = F.when(
+        last.isin(".", ".."), F.concat(folded, F.array(F.lit("")))
+    ).otherwise(folded)
+    joined = F.concat_ws("/", folded)
+    # urlunparse re-roots the path when a netloc is present ('/../a'
+    # pops the root, folds to 'a', and comes back as '/a')
+    return F.when(
+        joined.startswith("/"), joined
+    ).otherwise(F.concat(F.lit("/"), joined))
+
+
 def resolve_relative(url: Column, origin: Column) -> Column:
     """``SiteCrawler.urljoin`` (base.py:611-616): strip(), join against
-    the origin, then ``unquote`` the WHOLE result. Only applied when
-    the raw string starts with '/' (check_urls, base.py:681-683).
-
-    Note: true ``urljoin`` also removes dot segments; the engine's fast
-    path does a direct concat (the synthetic corpus is dot-segment-free
-    and tests pin equality with the Python oracle).
-    """
+    the origin with RFC-3986 dot-segment removal on the path part, then
+    ``unquote`` the WHOLE result. Only applied when the raw string
+    starts with '/' (check_urls, base.py:681-683)."""
     t = F.trim(url)
+    # dot-segment normalization on the path component only (query and
+    # fragment pass through untouched), guarded so dot-free paths — the
+    # overwhelmingly common case — skip the fold entirely
+    path_part = F.regexp_extract(t, r"^([^?#]*)", 1)
+    rest = F.regexp_replace(t, r"^[^?#]*", "")
+    # branch routing MUST use the raw string: normalization can produce
+    # a '//'-leading path ('/.///b' → '///b') that is still an
+    # absolute-PATH reference, not a network-path reference
+    t_norm = F.when(
+        path_part.rlike(r"/\.\.?(/|$)"),
+        F.concat(remove_dot_segments(path_part), rest),
+    ).otherwise(t)
     # network-path references ('//netloc/...'): urljoin keeps the base
     # scheme; an empty netloc ('//', '///a') keeps the base netloc too.
     new_netloc = F.regexp_extract(t, r"^//([^/?#]*)", 1)
     after_netloc = F.regexp_replace(t, r"^//[^/?#]*", "")
     joined = (
-        F.when(~t.startswith("//"), F.concat(origin, t))
+        F.when(~t.startswith("//"), F.concat(origin, t_norm))
         .when(new_netloc != "", F.concat(scheme(origin), F.lit(":"), t))
         .otherwise(F.concat(origin, after_netloc))
     )

@@ -90,3 +90,36 @@ def test_url_split_matches_urlparse(spark):
         if want != have:
             mismatches.append((row["url"], want, have))
     assert not mismatches, mismatches[:10]
+
+
+def test_resolve_relative_matches_urljoin_dot_segments(spark):
+    """resolve_relative vs the reference's exact resolution
+    (unquote(urljoin(origin, path.strip())), base.py:611-616) over a
+    fuzzed corpus of dot-segment-bearing relative paths — the RFC-3986
+    remove_dot_segments fold must agree with CPython segment-for-segment."""
+    rng = random.Random(7)
+    segs = ["a", "b", "c.d", ".", "..", "", "caf%C3%A9", "x%20y", "%2E%2E"]
+    cases = []
+    for _ in range(400):
+        n = rng.randint(1, 6)
+        path = "/" + "/".join(rng.choice(segs) for _ in range(n))
+        if rng.random() < 0.3:
+            path += "/"
+        if rng.random() < 0.25:
+            path += "?q=1&r=." 
+        if rng.random() < 0.15:
+            path += "#frag"
+        cases.append(path)
+    cases += ["/..", "/.", "/./", "/../../x", "/a/b/..", "/a/./b/../c",
+              "/a//b/./", "/a/%2E%2E/b", "/a/b/c/../../d?q=1#f", "/ /.."]
+    origin = "http://x.test"
+    want = {c: urllib.parse.unquote(urllib.parse.urljoin(origin, c.strip())) for c in cases}
+    df = spark.createDataFrame([(c,) for c in cases], "u string")
+    got = {
+        r["u"]: r["resolved"]
+        for r in df.select(
+            "u", U.resolve_relative(F.col("u"), F.lit(origin)).alias("resolved")
+        ).collect()
+    }
+    for c in cases:
+        assert got[c] == want[c], (c, got[c], want[c])
