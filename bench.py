@@ -59,12 +59,7 @@ def bench_frontier_schedule(spark, n_urls: int) -> dict:
     run = lambda df: schedule.politeness_schedule(
         df, config, wave=0, global_rank=False
     )[0].count()
-    t = time.time()
-    n = run(frontier)
-    cold = time.time() - t
-    t = time.time()
-    n = run(frontier)
-    dt = time.time() - t
+    n, cold, dt = _steady_state(run, frontier)
     return {"sec": dt, "cold_sec": cold, "rows": n, "urls_per_sec": n_urls / dt}
 
 
@@ -94,12 +89,7 @@ def bench_admission(spark, n_urls: int) -> dict:
         .where(F.col("verdict") == "valid")
         .count()
     )
-    t = time.time()
-    n = run(links)
-    cold = time.time() - t
-    t = time.time()
-    n = run(links)
-    dt = time.time() - t
+    n, cold, dt = _steady_state(run, links)
     return {"sec": dt, "cold_sec": cold, "rows": n, "urls_per_sec": n_urls / dt}
 
 
@@ -114,6 +104,21 @@ def bench_seen_antijoin(spark, n_urls: int) -> dict:
     n = cand.join(seen, "url", "left_anti").count()
     dt = time.time() - t
     return {"sec": dt, "rows": n, "urls_per_sec": n_urls / dt}
+
+
+def _steady_state(run, df, iters: int = 3):
+    """Cold run (codegen compile + first JIT pass) reported separately;
+    steady-state = best of `iters` subsequent runs (C2 JIT on a shared
+    box needs 2-3 passes to converge; GC pauses produce outliers)."""
+    t = time.time()
+    n = run(df)
+    cold = time.time() - t
+    best = float("inf")
+    for _ in range(iters):
+        t = time.time()
+        n = run(df)
+        best = min(best, time.time() - t)
+    return n, cold, best
 
 
 def bench_crawl_loop(spark, n_products: int) -> dict:

@@ -233,10 +233,15 @@ def resolve_relative(url: Column, origin: Column) -> Column:
     # branch routing MUST use the raw string: normalization can produce
     # a '//'-leading path ('/.///b' → '///b') that is still an
     # absolute-PATH reference, not a network-path reference
-    t_norm = F.when(
-        path_part.rlike(r"/\.\.?(/|$)"),
-        F.concat(remove_dot_segments(path_part), rest),
-    ).otherwise(t)
+    # two-level guard: a cheap substring scan ("/." anywhere) keeps the
+    # dot-free common case out of the regex entirely; codegen CASE
+    # evaluates the expensive branch only for rows that pass
+    t_norm = F.when(~t.contains("/."), t).otherwise(
+        F.when(
+            path_part.rlike(r"/\.\.?(/|$)"),
+            F.concat(remove_dot_segments(path_part), rest),
+        ).otherwise(t)
+    )
     # network-path references ('//netloc/...'): urljoin keeps the base
     # scheme; an empty netloc ('//', '///a') keeps the base netloc too.
     new_netloc = F.regexp_extract(t, r"^//([^/?#]*)", 1)
