@@ -142,7 +142,9 @@ def bench_crawl_loop(spark, n_products: int) -> dict:
         spark, synth_site(n_domains=1, n_products=4, page_size=4, seed=7)
     ).localCheckpoint()
     io_w = TableIO(spark, tempfile.mkdtemp(prefix="bench_crawl_warm_"))
-    WaveRunner(spark, config, warm_docs, io_w, collect_stats=False).run()
+    WaveRunner(
+        spark, config, warm_docs, io_w, collect_stats=False, global_rank=False
+    ).run()
 
     # page_size = n_products → ONE wide list page, so the BFS is 4-5
     # waves with one huge product wave — measures per-wave throughput,
@@ -155,8 +157,11 @@ def bench_crawl_loop(spark, n_products: int) -> dict:
     t = time.time()
     io = TableIO(spark, tempfile.mkdtemp(prefix="bench_crawl_"))
     # production posture: per-wave counts live in the lineage table,
-    # not driver aggs (collect_stats=False)
-    result = WaveRunner(spark, config, docs, io, collect_stats=False).run()
+    # not driver aggs (collect_stats=False); per-domain rank is the
+    # only ordering politeness needs (global_rank=False)
+    result = WaveRunner(
+        spark, config, docs, io, collect_stats=False, global_rank=False
+    ).run()
     dt = time.time() - t
     return {
         "sec": dt,

@@ -92,9 +92,18 @@ def admit(
 
     df = gather_filter(candidates, config)
     df = df.withColumnRenamed("url", "url_raw")
-    # P2 — relative resolution + unquote (base.py:681-683, 611-616)
-    df = df.withColumn(
-        "url", U.resolve_relative(F.col("url_raw"), F.lit(origin_lit))
+    # P2 — relative resolution + unquote (base.py:681-683, 611-616).
+    # The dot-segment fold inside resolve_relative is a higher-order
+    # function, which knocks any projection containing it out of
+    # whole-stage codegen; the nondeterministic barrier column stops
+    # CollapseProject from inlining the resolve expression into the
+    # (hot, regex-heavy) part extractions below, so only this one
+    # single-column projection runs interpreted — measured 2.3x on the
+    # admission bench vs letting the whole pipeline fall back.
+    df = df.select(
+        "*",
+        U.resolve_relative(F.col("url_raw"), F.lit(origin_lit)).alias("url"),
+        F.monotonically_increasing_id().alias("__barrier"),
     )
     # Parse ONCE: the RFC-3986 split is the hottest expression in the
     # pipeline; projecting the parts here lets codegen's subexpression
@@ -106,7 +115,7 @@ def admit(
             "__path": U.path(F.col("url")),
             "__query": U.query(F.col("url")),
         }
-    )
+    ).drop("__barrier")
 
     # membership flags via left joins (J1/J2); null-safe on the marker
     if visited is not None:

@@ -13,6 +13,18 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _topk_by_sim(cand: DataFrame, k: int) -> DataFrame:
+    """Shared ranking tail: per-query top-k by (sim desc, neighbor_id)
+    — the tie-break/rounding contract lives here once for all three
+    search strategies."""
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
 def _dot(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
@@ -53,12 +65,7 @@ def brute_force_topk(
         F.col(id_col).alias("neighbor_id"),
         F.round(cosine(F.col(vec_col), F.col("q_vec")), 6).alias("sim"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "sim", "rank")
-    )
+    return _topk_by_sim(scored, k)
 
 
 def hyperplane_signature(vec, n_planes: int = 16, dim: int = 64) -> F.Column:
@@ -115,12 +122,7 @@ def lsh_topk(
         F.col(id_col).alias("neighbor_id"),
         F.round(cosine(F.col(vec_col), F.col("q_vec")), 6).alias("sim"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        cand.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "sim", "rank")
-    )
+    return _topk_by_sim(cand, k)
 
 
 def train_ivf_centroids(
@@ -205,12 +207,7 @@ def ivf_topk(
         F.col(id_col).alias("neighbor_id"),
         F.round(cosine(F.col(vec_col), F.col("q_vec")), 6).alias("sim"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        cand.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "sim", "rank")
-    )
+    return _topk_by_sim(cand, k)
 
 
 def near_dup_pairs(

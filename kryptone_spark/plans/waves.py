@@ -84,6 +84,7 @@ class WaveRunner:
         checkpoint_interval: int = 1,
         write_edges: bool = True,
         collect_stats: bool = True,
+        global_rank: bool = True,
     ):
         self.spark = spark
         self.config = config
@@ -97,6 +98,12 @@ class WaveRunner:
         # driver agg (one Spark job per wave); the same numbers are
         # durable in the lineage table, so monitoring reads them there.
         self.collect_stats = collect_stats
+        # rank_in_wave (the oracle's lexicographic order) costs a
+        # two-phase range rank per wave — one extra materialization +
+        # O(partitions) offset collect (functions/rank.py). Parity runs
+        # keep it; production crawls where per-domain rank is the only
+        # ordering politeness needs can turn it off.
+        self.global_rank = global_rank
         self._offset = 0.0
         # cumulative in-memory state (lineage-cut per wave)
         self._state: dict[str, DataFrame | None] = {
@@ -187,7 +194,7 @@ class WaveRunner:
 
         batch, new_blocked = schedule.politeness_schedule(
             pending, self.config, wave, robots=self.robots,
-            wave_start_offset=self._offset,
+            wave_start_offset=self._offset, global_rank=self.global_rank,
         )
         batch = batch.localCheckpoint(eager=False)
         # one job: materializes the lazy checkpoint AND collects the

@@ -111,7 +111,14 @@ def test_resolve_relative_matches_urljoin_dot_segments(spark):
             path += "#frag"
         cases.append(path)
     cases += ["/..", "/.", "/./", "/../../x", "/a/b/..", "/a/./b/../c",
-              "/a//b/./", "/a/%2E%2E/b", "/a/b/c/../../d?q=1#f", "/ /.."]
+              "/a//b/./", "/a/%2E%2E/b", "/a/b/c/../../d?q=1#f", "/ /..",
+              # empty-netloc network-path refs: CPython keeps base netloc
+              # AND runs the segment loop on the path
+              "///../a", "///a/./b", "//", "///..", "/.///b",
+              # urlparse strips tab/CR/LF before splitting (bpo-43882)
+              "/a/.\t./b", "/a/\t../b", "/a\n/../b", "/x/.\r./y/z",
+              # deep '..' chains within the pass budget
+              "/a/b/c/d/e/../../../../f", "/../../../../x"]
     origin = "http://x.test"
     want = {c: urllib.parse.unquote(urllib.parse.urljoin(origin, c.strip())) for c in cases}
     df = spark.createDataFrame([(c,) for c in cases], "u string")
