@@ -129,10 +129,14 @@ def main() -> None:
     }
     print(json.dumps(result))
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "SCALING.md"), "a") as f:
+        # self-contained table: an appended bare row after prose would
+        # not render as markdown
         f.write(
-            f"\n| {n} | local[{lo}] | {r_lo['sec']:.2f}s | {r_lo['urls_per_sec']:.0f}/s | "
+            "\n\n| n_urls | N | T_N | thr_N | 4N | T_4N | thr_4N | efficiency | verdict |\n"
+            "|---|---|---|---|---|---|---|---|---|\n"
+            f"| {n} | local[{lo}] | {r_lo['sec']:.2f}s | {r_lo['urls_per_sec']:.0f}/s | "
             f"local[{hi}] | {r_hi['sec']:.2f}s | {r_hi['urls_per_sec']:.0f}/s | "
-            f"{efficiency:.3f} | {'PASS' if efficiency >= 0.8 else 'FAIL'} |"
+            f"{efficiency:.3f} | {'PASS' if efficiency >= 0.8 else 'FAIL'} |\n"
         )
 
 

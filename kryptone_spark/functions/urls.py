@@ -223,11 +223,9 @@ def remove_dot_segments(p: Column) -> Column:
     joined = F.concat_ws("/", folded)
     # urlunparse re-roots the path when a netloc is present ('/../a'
     # pops the root, folds to 'a', and comes back as '/a'); an emptied
-    # stack re-joins to '/'
-    return F.when(joined == "", F.lit("/")).otherwise(
-        F.when(joined.startswith("/"), joined).otherwise(
-            F.concat(F.lit("/"), joined)
-        )
+    # stack ('' here) re-roots to '/' the same way
+    return F.when(joined.startswith("/"), joined).otherwise(
+        F.concat(F.lit("/"), joined)
     )
 
 
@@ -251,10 +249,16 @@ def resolve_relative(url: Column, origin: Column) -> Column:
     the origin with CPython's dot-segment removal on the path part,
     then ``unquote`` the WHOLE result. Only applied when the raw string
     starts with '/' (check_urls, base.py:681-683)."""
-    # urlparse strips ASCII tab/CR/LF anywhere before splitting
-    # (bpo-43882), so urljoin's output — and therefore the reference's
-    # resolved URL — never contains them
-    t = F.translate(F.trim(url), "\t\r\n", "")
+    # The reference strips the raw string first (str.strip() — ALL
+    # whitespace incl. \x0b/\x0c/unicode, hence (?U)\s, not trim());
+    # urlparse then strips ASCII tab/CR/LF anywhere before splitting
+    # (bpo-43882); and urlunparse drops an empty query's '?' and an
+    # empty fragment's '#' on the way back out. urljoin's output — and
+    # therefore the reference's resolved URL — reflects all three.
+    t = F.regexp_replace(url, r"(?U)^\s+|\s+$", "")
+    t = F.translate(t, "\t\r\n", "")
+    t = F.regexp_replace(t, r"^([^#]*)#$", "$1")
+    t = F.regexp_replace(t, r"^([^?#]*)\?(?=#|$)", "$1")
     # branch routing MUST use the raw string: normalization can produce
     # a '//'-leading path ('/.///b' → '///b') that is still an
     # absolute-PATH reference, not a network-path reference.

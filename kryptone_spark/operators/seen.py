@@ -128,18 +128,26 @@ def probe_bloom(
             out[idx] = hit
         return pd.Series(out)
 
-    resolved = U.resolve_relative(
-        F.col(url_col),
-        F.lit(_origin_lit(config)),
+    # materialize the resolved url ONCE behind a nondeterministic
+    # barrier (same pattern as admission.admit): referencing the
+    # resolve expression three times below would let CollapseProject
+    # inline its dot-segment fold into the hash projection and knock
+    # the whole probe input out of codegen
+    prep = candidates.select(
+        "*",
+        U.resolve_relative(F.col(url_col), F.lit(_origin_lit(config))).alias(
+            "__resolved"
+        ),
+        F.monotonically_increasing_id().alias("__pb"),
     )
-    return candidates.withColumn(
+    return prep.withColumn(
         "might_seen",
         _probe(
-            U.domain_bucket(U.netloc(resolved), config.n_domain_buckets),
-            F.xxhash64(resolved, F.lit(1)),
-            F.xxhash64(resolved, F.lit(2)),
+            U.domain_bucket(U.netloc(F.col("__resolved")), config.n_domain_buckets),
+            F.xxhash64(F.col("__resolved"), F.lit(1)),
+            F.xxhash64(F.col("__resolved"), F.lit(2)),
         ),
-    )
+    ).drop("__resolved", "__pb")
 
 
 def _origin_lit(config: CrawlConfig) -> str:
@@ -239,14 +247,20 @@ def probe_cuckoo(
             out[idx] = f.contains_many(hh[idx])
         return pd.Series(out)
 
-    resolved = U.resolve_relative(F.col(url_col), F.lit(_origin_lit(config)))
-    return candidates.withColumn(
+    prep = candidates.select(
+        "*",
+        U.resolve_relative(F.col(url_col), F.lit(_origin_lit(config))).alias(
+            "__resolved"
+        ),
+        F.monotonically_increasing_id().alias("__pb"),
+    )
+    return prep.withColumn(
         "might_seen",
         _probe(
-            U.domain_bucket(U.netloc(resolved), config.n_domain_buckets),
-            F.xxhash64(resolved),
+            U.domain_bucket(U.netloc(F.col("__resolved")), config.n_domain_buckets),
+            F.xxhash64(F.col("__resolved")),
         ),
-    )
+    ).drop("__resolved", "__pb")
 
 
 def expire_urls(

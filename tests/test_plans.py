@@ -74,12 +74,16 @@ def test_admission_is_map_only_no_shuffle(spark):
     plan = plan_of(admission.admit(links, config, allow_home=False))
     assert "Exchange" not in plan
     assert "EvalPython" not in plan  # no row- or arrow-Python in the path
-    # exactly one operator outside codegen: the resolve projection
+    # in formatted explain every operator detail line is either
+    # '(N) Op [codegen id : M]' or '(N) Op' (outside codegen); exactly
+    # ONE op may be outside codegen — the resolve projection — and the
+    # regex-heavy part extraction + all predicates must stay codegen'd
+    # on both sides of it (two spans).
     import re as _re
+    outside = _re.findall(r"(?m)^\(\d+\) (\w+)$", plan)
+    assert outside == ["Project"], outside
     codegen_spans = set(_re.findall(r"\[codegen id : (\d+)\]", plan))
-    non_codegen_projects = plan.count("\n+- Project") + plan.count("\nProject")
-    assert len(codegen_spans) >= 1
-    assert non_codegen_projects <= 1, plan
+    assert len(codegen_spans) == 2, codegen_spans
 
 
 def test_politeness_schedule_single_exchange(spark):

@@ -117,6 +117,11 @@ def test_resolve_relative_matches_urljoin_dot_segments(spark):
               "///../a", "///a/./b", "//", "///..", "/.///b",
               # urlparse strips tab/CR/LF before splitting (bpo-43882)
               "/a/.\t./b", "/a/\t../b", "/a\n/../b", "/x/.\r./y/z",
+              # str.strip() removes ALL whitespace; urlunparse drops
+              # the '?'/'#' of empty query/fragment components
+              "/a\x0c", "/a\x0b", "/a\xa0", "/a#", "/a?", "/a?#",
+              "/a?#f", "/a??", "/a##", "//h?#", "/..#", "/a/..#",
+              "/a#?", "/a?q#",
               # deep '..' chains within the pass budget
               "/a/b/c/d/e/../../../../f", "/../../../../x"]
     origin = "http://x.test"
