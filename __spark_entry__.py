@@ -957,8 +957,20 @@ _LANG_SCORE = {
     "zh": "('的','是','和','在','了')",
 }
 
+_ZH_CHARS = ("的", "是", "和", "在", "了")
+
 _LANG_COLS = ", ".join(
-    f"len(list_filter(string_split_regex(regexp_replace(lower(text),'[^a-z0-9一-鿿 ]',' ','g'), ' +'), t -> t IN {m}))::INTEGER AS score_{l}"
+    # zh scores by substring-occurrence count (unsegmented text — token
+    # equality can never match); latin langs by whole-token equality
+    (
+        "("
+        + " + ".join(
+            f"(length(text) - length(replace(text, '{c}', '')))" for c in _ZH_CHARS
+        )
+        + f")::INTEGER AS score_{l}"
+    )
+    if l == "zh"
+    else f"len(list_filter(string_split_regex(regexp_replace(lower(text),'[^a-z0-9一-鿿 ]',' ','g'), ' +'), t -> t IN {m}))::INTEGER AS score_{l}"
     for l, m in _LANG_SCORE.items()
 )
 
@@ -1260,7 +1272,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_token_stats": """
             SELECT doc_id,
-                   len(string_split_regex(trim(text), '\\s+'))::INTEGER AS n_ws_tokens,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+'))
+                   END::INTEGER AS n_ws_tokens,
                    len(list_filter(
                        string_split_regex(regexp_replace(text, '([^A-Za-z0-9\\s])', ' \\1 ', 'g'), '\\s+'),
                        t -> t <> ''))::INTEGER AS n_bpe_tokens

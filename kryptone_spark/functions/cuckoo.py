@@ -72,12 +72,19 @@ class CuckooFilter:
             if len(empty):
                 row[empty[0]] = fp
                 return True
-        # kick loop
+        # kick loop — records every displacement so a failed insert can
+        # UNWIND: aborting mid-chain would leave the last displaced
+        # fingerprint (a previously inserted key!) out of the table, a
+        # false negative that breaks the sidecar's only hard contract
         rng = np.random.default_rng(fp ^ i1)  # deterministic displacement
+        chain: list[tuple[int, int, int]] = []
         idx, cur = i1, fp
         for _ in range(MAX_KICKS):
             slot = int(rng.integers(SLOTS))
-            cur, self.table[idx, slot] = int(self.table[idx, slot]), cur
+            displaced = int(self.table[idx, slot])
+            self.table[idx, slot] = cur
+            chain.append((idx, slot, displaced))
+            cur = displaced
             with np.errstate(over="ignore"):
                 idx = int(
                     (np.uint64(idx) ^ ((np.uint64(cur) * np.uint64(0x5BD1E9955BD1E995) + self.seed)))
@@ -88,7 +95,9 @@ class CuckooFilter:
             if len(empty):
                 row[empty[0]] = cur
                 return True
-        return False  # table over capacity
+        for idx_, slot_, displaced_ in reversed(chain):
+            self.table[idx_, slot_] = displaced_
+        return False  # table over capacity; table state unchanged
 
     def contains_many(self, hashes: np.ndarray) -> np.ndarray:
         h = hashes.astype(np.uint64)

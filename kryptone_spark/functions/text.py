@@ -68,9 +68,12 @@ def remove_punctuation(text: Column, keep: str = "", email_exception: bool = Fal
 
 
 def slugify(text: Column) -> Column:
-    """text.py:154-163 — spaces→'-', lower, unaccent (accent strip via
-    the pandas UDF only when the input is non-ASCII; ASCII fast path
-    stays native)."""
+    """text.py:154-163 — spaces→'-', lower, unaccent. The accent strip
+    is a pandas UDF; note Spark extracts Python UDFs into an
+    ArrowEvalPython node evaluated for EVERY row before the CASE, so
+    the ASCII branch only guards semantics (ASCII text is returned
+    unchanged even if the unaccenter would alter it), not cost —
+    callers with guaranteed-ASCII corpora should pre-filter."""
     base = F.lower(F.regexp_replace(text, " ", "-"))
     return F.when(base.rlike("^[\\x00-\\x7F]*$"), base).otherwise(remove_accents(base))
 
@@ -83,7 +86,11 @@ def parse_price(text: Column) -> Column:
     picked = F.when(euro, euro_val).otherwise(
         F.when(plain != "", plain).otherwise(text)
     )
-    return F.replace(picked, F.lit(","), F.lit(".")).cast("double")
+    # try_cast: Spark 4 defaults to ANSI mode, where a plain cast on a
+    # price the regexes could not normalize would fail the whole stage
+    # (the reference's float() raises a catchable per-call ValueError;
+    # the engine's equivalent of "caught" is NULL)
+    return F.replace(picked, F.lit(","), F.lit(".")).try_cast("double")
 
 
 # ----- emails (seo.py:28, 587-643) -----
@@ -126,8 +133,12 @@ def stopword_ratio(text: Column) -> Column:
 
 
 def token_count(text: Column) -> Column:
-    """Whitespace token count — the BPE-ish proxy used for budget math."""
-    return F.size(F.split(F.trim(text), r"\s+"))
+    """Whitespace token count — the BPE-ish proxy used for budget math.
+    Empty/blank text counts 0 (split('') yields [''] — size 1 — which
+    would inflate corpus budgets by one per empty doc)."""
+    return F.when(
+        F.length(F.trim(text)) == 0, F.lit(0)
+    ).otherwise(F.size(F.split(F.trim(text), r"\s+")))
 
 
 def quality_score(text: Column) -> Column:

@@ -79,6 +79,12 @@ def minhash_lsh_pairs(
     docs) would make the self-join quadratic — ``max_bucket_size`` drops
     them (standard web-dedup practice: a bucket that big is template
     noise, not near-duplication), and AQE skew-join splits the rest."""
+    if k % bands != 0:
+        raise ValueError(
+            f"k={k} not divisible by bands={bands}: trailing signature "
+            "columns would be computed but silently excluded from every "
+            "bucket, weakening LSH recall"
+        )
     sigs = minhash_signatures(df, text_col, k)
     rows_per_band = k // bands
     band_cols = []
@@ -122,16 +128,25 @@ def ngram_jaccard_pairs(
         F.array_sort(F.collect_list("tok")).alias("toks")
     )
     # n-grams over the doc's sorted distinct tokens — deterministic and
-    # SQL-reproducible (set semantics, not positional shingles)
-    grams = toks.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.greatest(F.size("toks") - n, F.lit(0))),
-                lambda i: F.array_join(F.slice(F.col("toks"), i + 1, n), " "),
-            )
-        ).alias("gram"),
-    ).where(F.length("gram") > 0).distinct()
+    # SQL-reproducible (set semantics, not positional shingles). Docs
+    # with fewer than n tokens produce NO grams (the old greatest()
+    # clamp emitted one truncated short gram, which made any two sub-n
+    # docs with equal token sets jaccard=1.0 "near-duplicates" despite
+    # having zero actual n-grams).
+    grams = (
+        toks.where(F.size("toks") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - n),
+                    lambda i: F.array_join(F.slice(F.col("toks"), i + 1, n), " "),
+                )
+            ).alias("gram"),
+        )
+        .where(F.length("gram") > 0)
+        .distinct()
+    )
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
     a, b = grams.alias("a"), grams.alias("b")
     inter = (
@@ -159,22 +174,47 @@ def simhash64(df: DataFrame, text_col: str = "text", bits: int = 16) -> DataFram
     """SimHash: per-token md5 → first `bits` bits; signature bit j set
     iff Σ_tokens (±1 for bit j) > 0. Exploding bit positions keeps it
     SQL-reproducible; the 100 TB path replaces the explode with a
-    vectorized pandas UDF doing the same popcount math in numpy."""
-    toks = normalized_tokens(df, text_col).withColumn(
-        "h",
-        F.conv(F.substring(F.md5(F.col("tok")), 1, bits // 4), 16, 10).cast("long"),
-    )
+    vectorized pandas UDF doing the same popcount math in numpy.
+
+    bits ≤ 60 derives the token hash from one conv() (15 hex chars is
+    the most a signed long can take — conv of 16 chars overflows and
+    Spark 4's default ANSI mode fails the cast); 61-64 derives two
+    32-bit words instead. Bit 63 lands on the sign bit, so full-64
+    signatures are negative for docs with that bit set — consistent in
+    both engines, and no sum overflow (distinct powers of two with
+    2^63 ≡ LONG_MIN can never overflow a two's-complement sum)."""
+    if not 1 <= bits <= 64:
+        raise ValueError(f"bits must be in 1..64, got {bits}")
+    toks = normalized_tokens(df, text_col)
     pos = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j")
-    contrib = toks.select(
-        "doc_id",
-        pos,
-        F.col("h"),
-    ).select(
-        "doc_id", "j",
-        F.when(F.expr("shiftright(h, cast(j as int)) & 1") == 1, 1)
-        .otherwise(-1)
-        .alias("c"),
-    )
+    if bits <= 60:
+        toks = toks.withColumn(
+            "h",
+            F.conv(F.substring(F.md5(F.col("tok")), 1, (bits + 3) // 4), 16, 10).cast("long"),
+        )
+        bit_is_set = F.expr("shiftright(h, cast(j as int)) & 1") == 1
+        contrib = toks.select("doc_id", pos, F.col("h")).select(
+            "doc_id", "j",
+            F.when(bit_is_set, 1).otherwise(-1).alias("c"),
+        )
+    else:
+        toks = toks.withColumns(
+            {
+                "h1": F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long"),
+                "h2": F.conv(F.substring(F.md5(F.col("tok")), 9, 8), 16, 10).cast("long"),
+            }
+        )
+        bit_is_set = (
+            F.when(
+                F.col("j") < 32,
+                F.expr("shiftright(h1, cast(j as int)) & 1"),
+            ).otherwise(F.expr("shiftright(h2, cast(j - 32 as int)) & 1"))
+            == 1
+        )
+        contrib = toks.select("doc_id", pos, "h1", "h2").select(
+            "doc_id", "j",
+            F.when(bit_is_set, 1).otherwise(-1).alias("c"),
+        )
     return (
         contrib.groupBy("doc_id", "j")
         .agg(F.sum("c").alias("s"))

@@ -53,7 +53,9 @@ def make_fake_audio(sample_rate: int, n_samples: int) -> bytes:
 
 
 def _decode_real(data: bytes):  # pragma: no cover - no codecs in sandbox
-    """Real decode path: used automatically when PIL is importable."""
+    """Real image decode: called by ``decode_media`` for blobs that are
+    NOT the deterministic fake format, when PIL is importable; raises
+    NotImplementedError otherwise (this container ships no codecs)."""
     try:
         from io import BytesIO
 
@@ -86,12 +88,21 @@ def decode_media(media: DataFrame) -> DataFrame:
             for i, b in enumerate(pdf["data"]):
                 if b is None:
                     continue
-                if bytes(b[:8]) == b"FAKEIMG!":
-                    w, h = struct.unpack("<HH", bytes(b[8:12]))
-                    res.loc[i, ["width", "height", "ok"]] = [w, h, True]
-                elif bytes(b[:8]) == b"FAKEAUD!":
-                    sr, ns = struct.unpack("<II", bytes(b[8:16]))
-                    res.loc[i, ["sample_rate", "n_samples", "ok"]] = [sr, ns, True]
+                # any malformed blob (truncated header, unknown magic,
+                # undecodable image) must mark ok=False, never raise —
+                # one bad row cannot be allowed to fail the stage
+                try:
+                    if bytes(b[:8]) == b"FAKEIMG!" and len(b) >= 12:
+                        w, h = struct.unpack("<HH", bytes(b[8:12]))
+                        res.loc[i, ["width", "height", "ok"]] = [w, h, True]
+                    elif bytes(b[:8]) == b"FAKEAUD!" and len(b) >= 16:
+                        sr, ns = struct.unpack("<II", bytes(b[8:16]))
+                        res.loc[i, ["sample_rate", "n_samples", "ok"]] = [sr, ns, True]
+                    elif bytes(b[:8]) not in (b"FAKEIMG!", b"FAKEAUD!"):
+                        w, h = _decode_real(bytes(b))
+                        res.loc[i, ["width", "height", "ok"]] = [w, h, True]
+                except Exception:
+                    pass  # ok stays False
             yield res
 
     return media.mapInPandas(_decode, schema=DECODED_SCHEMA)

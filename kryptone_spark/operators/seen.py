@@ -209,8 +209,16 @@ def build_cuckoo_sidecar(seen: DataFrame, config: CrawlConfig) -> dict[int, byte
     )
 
     def _build(pdf: pd.DataFrame) -> pd.DataFrame:
-        f = CuckooFilter(capacity=max(64, 2 * len(pdf)))
-        f.insert_many(pdf["h"].to_numpy().view(np.uint64))
+        # a failed insert would mean a seen URL reads as definitely-new
+        # — grow and rebuild until every key lands (2x capacity ≈ 0.5
+        # load, so the retry is a cold-path safety net, not a loop)
+        keys = pdf["h"].to_numpy().view(np.uint64)
+        cap = max(64, 2 * len(pdf))
+        while True:
+            f = CuckooFilter(capacity=cap)
+            if f.insert_many(keys) == len(keys):
+                break
+            cap *= 2
         return pd.DataFrame(
             {"domain_bucket": [int(pdf["domain_bucket"].iloc[0])], "bits": [f.to_bytes()]}
         )

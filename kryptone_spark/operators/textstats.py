@@ -10,8 +10,11 @@ from pyspark.sql import functions as F
 
 from kryptone_spark.functions import text as TXT
 
-# tiny per-language stopword lists for the n-gram/stopword heuristic;
-# chosen to discriminate the synthetic corpus's 5 langs
+# tiny per-language stopword lists for the n-gram/stopword heuristic.
+# Latin-script languages score by whole-token equality; zh has no word
+# delimiters, so its single-character function words are scored by
+# SUBSTRING OCCURRENCE COUNT (token equality against an unsegmented
+# Chinese sentence can never match).
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
     "en": ("the", "and", "of", "is", "with"),
     "es": ("el", "la", "de", "es", "con"),
@@ -19,6 +22,8 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
     "de": ("der", "die", "und", "ist", "mit"),
     "zh": ("的", "是", "和", "在", "了"),
 }
+
+_CHAR_COUNT_LANGS = ("zh",)
 
 
 def _tok(text_col):
@@ -34,9 +39,18 @@ def lang_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     out = df
     score_cols = []
     for lang, markers in LANG_MARKERS.items():
-        c = F.size(
-            F.filter(toks, lambda t: t.isin(*markers))
-        ).alias(f"score_{lang}")
+        if lang in _CHAR_COUNT_LANGS:
+            c = F.lit(0)
+            for m in markers:
+                c = c + (
+                    F.length(F.col(text_col))
+                    - F.length(F.replace(F.col(text_col), F.lit(m)))
+                )
+            c = c.cast("int").alias(f"score_{lang}")
+        else:
+            c = F.size(
+                F.filter(toks, lambda t: t.isin(*markers))
+            ).alias(f"score_{lang}")
         score_cols.append((lang, c))
         out = out.withColumn(f"score_{lang}", c)
     pred = None
@@ -58,7 +72,7 @@ def quality(df: DataFrame, text_col: str = "text") -> DataFrame:
 def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace tokens + a BPE-ish subword proxy (alnum runs and
     punctuation counted separately — deterministic, SQL-equivalent)."""
-    ws = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    ws = TXT.token_count(F.col(text_col))  # 0 for empty/blank docs
     bpe_ish = F.size(
         F.filter(
             F.split(F.regexp_replace(F.col(text_col), r"([^A-Za-z0-9\s])", " $1 "), r"\s+"),

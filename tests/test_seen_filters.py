@@ -85,3 +85,22 @@ def test_cuckoo_sidecar_probe_and_expire(spark, config):
     }
     refetchable = sum(not probed2[u] for u in urls[:50])
     assert refetchable >= 48  # tiny residual FP allowed
+
+
+def test_cuckoo_overfill_never_loses_inserted_keys():
+    """The kick loop must unwind on failure: an aborted displacement
+    chain would evict a PREVIOUSLY INSERTED key (false negative — the
+    one contract a seen-set filter cannot break)."""
+    import numpy as np
+
+    from kryptone_spark.functions.cuckoo import CuckooFilter
+
+    rng = np.random.default_rng(3)
+    keys = rng.integers(1, 2**63, size=400, dtype=np.int64).view(np.uint64)
+    f = CuckooFilter(capacity=60)  # far over capacity → inserts WILL fail
+    accepted = [
+        k for k in keys if f.insert_many(np.array([k], dtype=np.uint64)) == 1
+    ]
+    assert 0 < len(accepted) < len(keys)  # some failed — the scenario under test
+    got = f.contains_many(np.array(accepted, dtype=np.uint64))
+    assert got.all(), f"{(~got).sum()} accepted keys read as absent"

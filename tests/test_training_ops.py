@@ -248,3 +248,22 @@ def test_ivf_partial_probe_recall_and_pruning(spark, vectors):
         hits = got.get(q, [])
         assert (q, 1.0) in hits  # self is in the probed cell, sim 1.0
         assert len(hits) <= 3
+
+
+def test_lang_scores_discriminate_real_languages(spark):
+    """Non-vacuous language ID: hand-built docs in each language must
+    argmax to their language — including unsegmented Chinese, whose
+    single-char markers score by substring occurrence, not token
+    equality (space-split tokens can never equal one char)."""
+    docs = spark.createDataFrame(
+        [
+            ("en1", "the cat and the dog of the house is happy with food"),
+            ("es1", "el perro de la casa es feliz con la comida"),
+            ("fr1", "le chien de la maison est heureux avec la nourriture et le chat"),
+            ("de1", "der hund und die katze ist mit der wohnung"),
+            ("zh1", "这是一个测试的句子和另一个在这里的句子了"),
+        ],
+        "doc_id string, text string",
+    )
+    got = {r["doc_id"]: r["lang_pred"] for r in textstats.lang_scores(docs).collect()}
+    assert got == {"en1": "en", "es1": "es", "fr1": "fr", "de1": "de", "zh1": "zh"}, got
