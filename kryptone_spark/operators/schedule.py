@@ -39,9 +39,12 @@ def with_robots(pending: DataFrame, robots: DataFrame | None, config: CrawlConfi
         F.col("crawl_delay").alias("__rdelay"),
     )
     out = pending.join(F.broadcast(r), "domain", "left")
+    # robots.txt 'Disallow:' with an EMPTY value means allow-all; and
+    # startswith('') is true for every path, so empty rules must be
+    # dropped or they'd block the domain's entire URL space
     blocked = F.exists(
         F.coalesce(F.col("__disallow"), F.array().cast("array<string>")),
-        lambda d: U.path(F.col("url")).startswith(d),
+        lambda d: (d != "") & U.path(F.col("url")).startswith(d),
     )
     return (
         out.withColumn("robots_blocked", F.coalesce(blocked, F.lit(False)))
@@ -89,7 +92,10 @@ def politeness_schedule(
     # top-ks — so the exact phase-2 window sees ≤ salt_buckets × budget
     # rows per domain instead of the domain's whole pending set.
     budget = config.max_per_domain_per_wave
-    if salt_buckets > 1 and budget < (1 << 30):
+    # the default budget (1e9 = CrawlConfig's effectively-unbounded
+    # sentinel) must skip phase 1: a salted window that filters nothing
+    # is a pure extra shuffle
+    if salt_buckets > 1 and budget < 1_000_000_000:
         w_salt = Window.partitionBy("domain", "__salt").orderBy("priority", "url")
         ok = (
             ok.withColumn(

@@ -58,7 +58,10 @@ class TableIO:
         # dirs but no part files — nothing to read
         if next(base.rglob("*.parquet"), None) is None:
             return None
-        return self.spark.read.option("basePath", str(base)).parquet(str(base))
+        reader = self.spark.read.option("basePath", str(base))
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.parquet(str(base))
 
     def read_wave(self, name: str, wave: int) -> DataFrame | None:
         path = self._dir(name) / f"wave={wave}"
@@ -69,8 +72,18 @@ class TableIO:
         )
 
     def committed_waves(self, name: str) -> list[int]:
+        """A wave counts as committed only when its write actually
+        finished: the _SUCCESS marker (written by Spark's output
+        committer at job commit) must exist. A crash mid-write leaves
+        the wave directory with only _temporary content — directory
+        existence alone would satisfy the 'lineage last = commit
+        marker' contract with an uncommitted write."""
         base = self._dir(name)
-        return sorted(int(p.name.split("=")[1]) for p in base.glob("wave=*"))
+        return sorted(
+            int(p.name.split("=")[1])
+            for p in base.glob("wave=*")
+            if (p / "_SUCCESS").exists()
+        )
 
     def drop_waves_after(self, name: str, wave: int) -> None:
         """Roll back a partially-committed resume point."""

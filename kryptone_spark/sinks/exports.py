@@ -23,18 +23,31 @@ from kryptone_spark.plans.tableio import TableIO
 
 
 def export_seen_csv(io: TableIO, path: str) -> None:
-    """seen_urls.csv in the canonical lexicographic order."""
+    """seen_urls.csv in the canonical lexicographic order. Written via
+    the TEXT writer: the reference dumps raw one-URL-per-line
+    (base.py:577-587); the CSV writer would quote/escape URLs that
+    contain commas or quotes, breaking line-level parity."""
     seen = io.read("seen")
+    if seen is None:  # fresh state: empty artifact, not a crash
+        import pathlib
+
+        pathlib.Path(path).mkdir(parents=True, exist_ok=True)
+        return
     (
         seen.select("url").distinct().orderBy("url")
         .coalesce(1)
-        .write.mode("overwrite").option("header", "false").csv(path)
+        .write.mode("overwrite").text(path)
     )
 
 
 def export_url_distribution_json(io: TableIO, path: str) -> None:
     """url_distribution.json: page → sorted out-links (A3)."""
     edges = io.read("edges")
+    if edges is None:
+        import pathlib
+
+        pathlib.Path(path).mkdir(parents=True, exist_ok=True)
+        return
     (
         edges.groupBy("src_url")
         .agg(F.sort_array(F.collect_list("dst_url")).alias("out_links"))
@@ -47,9 +60,21 @@ def export_url_distribution_json(io: TableIO, path: str) -> None:
 def export_cache_json(io: TableIO, path: str, max_rows: int = 1_000_000) -> None:
     """cache.json — {urls_to_visit, visited_urls} snapshot
     (base.py:562-575 shape). Driver-side by construction; guarded."""
-    visited = io.read("visited").select("url")
+    visited_t = io.read("visited")
     frontier = io.read("frontier")
-    pending = frontier.join(visited, "url", "left_anti").select("url")
+    if visited_t is None and frontier is None:
+        with open(path, "w") as f:
+            json.dump(
+                {"spider": "kryptone_spark", "timestamp": None,
+                 "urls_to_visit": [], "visited_urls": []}, f, indent=2)
+        return
+    spark = (visited_t or frontier).sparkSession
+    empty = spark.createDataFrame([], "url string")
+    visited = visited_t.select("url") if visited_t is not None else empty
+    pending = (
+        frontier.join(visited, "url", "left_anti").select("url")
+        if frontier is not None else empty
+    )
     n = pending.count() + visited.count()
     if n > max_rows:
         raise ValueError(
@@ -74,8 +99,13 @@ def performance_summary(io: TableIO) -> dict:
     visited = io.read("visited")
     frontier = io.read("frontier")
     lineage = io.read("lineage")
-    n_visited = visited.count()
-    n_pending = frontier.join(visited.select("url"), "url", "left_anti").count()
+    n_visited = visited.count() if visited is not None else 0
+    if frontier is None:
+        n_pending = 0
+    elif visited is None:
+        n_pending = frontier.select("url").distinct().count()
+    else:
+        n_pending = frontier.join(visited.select("url"), "url", "left_anti").count()
     total = n_visited + n_pending
     waves = (
         [r["wave_id"] for r in lineage.select("wave_id").distinct().collect()]

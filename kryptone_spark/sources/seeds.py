@@ -27,10 +27,12 @@ def load_start_urls(
         df = spark.read.option("multiLine", "true").json(path)
         col = column if column in df.columns else df.columns[0]
         return df.select(F.col(col).alias("url"))
+    # text reader, NOT csv: the file is raw one-url-per-line and the
+    # CSV reader's comma/quote semantics would truncate 'http://a/p?ids=1,2'
     return (
-        spark.read.csv(path)
-        .select(F.col("_c0").alias("url"))
-        .where(F.col("url").isNotNull())
+        spark.read.text(path)
+        .select(F.col("value").alias("url"))
+        .where(F.col("url").isNotNull() & (F.trim("url") != ""))
     )
 
 
@@ -46,6 +48,8 @@ def query_generator(
     """S4 — URLQueryGenerator (urls.py:598-661): sweep one query param
     over a numeric range, keeping extra fixed params."""
     extra = "".join(f"&{k}={v}" for k, v in (query or {}).items())
+    if (end_value - initial_value) * (1 if step >= 0 else -1) < 0:
+        return spark.createDataFrame([], "url string")
     return spark.range(1).select(
         F.explode(F.sequence(F.lit(initial_value), F.lit(end_value), F.lit(step))).alias("v")
     ).select(
@@ -61,6 +65,10 @@ def path_generator(
 ) -> DataFrame:
     """S5 — URLPathGenerator (urls.py:664-704): $var path template × k."""
     pre, _, post = template.partition(var)
+    if k <= 0:
+        # sequence(start, start-1) would default to step -1 and emit
+        # [start, start-1] — two bogus seeds from a generate-nothing ask
+        return spark.createDataFrame([], "url string")
     return spark.range(1).select(
         F.explode(F.sequence(F.lit(start), F.lit(start + k - 1))).alias("v")
     ).select(

@@ -98,7 +98,15 @@ def politeness_audit_stream(
         if last is not None and len(ts):
             gaps.iloc[0] = float(ts.iloc[0]) - last
         if len(ts):
-            state.update((float(ts.iloc[-1]),))
+            # the watermark does NOT drop late input rows for
+            # applyInPandasWithState — a late event must not rewind the
+            # per-domain anchor, or every subsequent on-time event
+            # measures its gap against the wrong timestamp
+            newest = float(ts.iloc[-1])
+            state.update((newest if last is None else max(last, newest),))
+        # negative gap = late-arriving event (it sorted before the
+        # carried anchor); that is an ordering artifact, not a
+        # politeness violation — only a genuine small forward gap is
         yield pd.DataFrame(
             {
                 "domain": domain,
@@ -107,7 +115,7 @@ def politeness_audit_stream(
                 # NaN would survive Arrow as a double NaN — emit a real
                 # NULL for "no previous fetch on this domain"
                 "gap_s": gaps.astype(object).where(gaps.notna(), None).values,
-                "violation": (gaps < crawl_delay).fillna(False).values,
+                "violation": ((gaps >= 0) & (gaps < crawl_delay)).fillna(False).values,
             }
         )
 

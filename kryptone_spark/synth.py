@@ -178,17 +178,17 @@ def synth_frontier_df(
     with sequence/explode entirely JVM-side (no Python in the loop).
     ``hot_domain_share`` of URLs land on domain 0 (hot-domain skew)."""
     hot = int(n_urls * hot_domain_share)
+    if n_domains <= 1:
+        cold_domain = F.lit("site0.test")  # pmod(_, 0) would divide by zero
+    else:
+        cold_domain = F.concat(
+            F.lit("site"),
+            (F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(n_domains - 1)) + 1).cast("string"),
+            F.lit(".test"),
+        )
     df = spark.range(n_urls).withColumn(
         "domain",
-        F.when(
-            F.col("id") < hot, F.lit("site0.test")
-        ).otherwise(
-            F.concat(
-                F.lit("site"),
-                (F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(n_domains - 1)) + 1).cast("string"),
-                F.lit(".test"),
-            )
-        ),
+        F.when(F.col("id") < hot, F.lit("site0.test")).otherwise(cold_domain),
     )
     return df.select(
         F.concat(F.lit("http://"), "domain", F.lit("/product-"), F.col("id").cast("string")).alias("url"),

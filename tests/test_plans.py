@@ -115,3 +115,24 @@ def test_seen_antijoin_no_python(spark, entry):
     plan = plan_of(entry.queries()["seen_antijoin"](spark, SF))
     assert "LeftAnti" in plan
     assert "EvalPython" not in plan
+
+
+def test_torn_write_is_not_committed(spark, tmp_path):
+    """A wave directory without Spark's _SUCCESS job-commit marker
+    (what a crash mid-write leaves behind) must NOT count as committed
+    — directory existence satisfying the 'lineage last' contract would
+    resume past an unwritten wave."""
+    import pathlib
+
+    from kryptone_spark.plans.tableio import TableIO
+
+    io = TableIO(spark, str(tmp_path / "t"))
+    df = spark.createDataFrame([("http://a.test/", 0)], "url string, domain_bucket int")
+    io.write_wave("lineage", df, 0)
+    io.write_wave("lineage", df, 1)
+    assert io.committed_waves("lineage") == [0, 1]
+    # simulate the torn write: wave dir exists, no _SUCCESS
+    torn = pathlib.Path(tmp_path / "t" / "lineage" / "wave=2")
+    torn.mkdir(parents=True)
+    (torn / "_temporary").mkdir()
+    assert io.committed_waves("lineage") == [0, 1]

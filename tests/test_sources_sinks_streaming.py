@@ -69,7 +69,8 @@ def crawled_io(spark, tmp_path_factory):
 def test_export_seen_csv_sorted(spark, crawled_io, tmp_path):
     out = tmp_path / "seen_csv"
     exports.export_seen_csv(crawled_io, str(out))
-    files = list(pathlib.Path(out).glob("part-*.csv"))
+    # text writer (raw one-url-per-line parity with the reference)
+    files = list(pathlib.Path(out).glob("part-*"))
     assert len(files) == 1
     lines = files[0].read_text().splitlines()
     assert lines == sorted(lines) and len(lines) > 5
@@ -198,3 +199,36 @@ def test_politeness_audit_stateful_stream(spark, tmp_path):
     assert not rows["http://a.test/2"]["violation"]  # 30 >= 25
     assert rows["http://a.test/3"]["gap_s"] == 5.0 and rows["http://a.test/3"]["violation"]
     assert rows["http://b.test/2"]["gap_s"] == 50.0 and not rows["http://b.test/2"]["violation"]
+
+
+def test_robots_empty_disallow_allows_all(spark):
+    """'Disallow:' with an empty value means allow-all; startswith('')
+    is true for every path, so an empty rule must not block."""
+    from kryptone_spark.config import CrawlConfig
+    from kryptone_spark.operators import schedule
+
+    pending = spark.createDataFrame(
+        [("http://a.test/x", "a.test"), ("http://b.test/private/x", "b.test")],
+        "url string, domain string",
+    )
+    robots = spark.createDataFrame(
+        [("a.test", [""], 1.0), ("b.test", ["/private"], 1.0)],
+        "domain string, disallow array<string>, crawl_delay double",
+    )
+    out = schedule.with_robots(pending, robots, CrawlConfig(wait_time=1.0))
+    got = {r["url"]: r["robots_blocked"] for r in out.collect()}
+    assert got == {"http://a.test/x": False, "http://b.test/private/x": True}
+
+
+def test_generators_degenerate_ranges_empty(spark):
+    assert seeds.path_generator(spark, "http://x.test/p/$id", k=0).count() == 0
+    assert seeds.query_generator(spark, "http://x.test/l", "p", 5, 0, 1).count() == 0
+
+
+def test_load_start_urls_preserves_commas(spark, tmp_path):
+    """Seed files are raw one-url-per-line: the CSV reader's comma
+    semantics would truncate 'p?ids=1,2' to 'p?ids=1'."""
+    p = tmp_path / "seeds.txt"
+    p.write_text("http://a.test/p?ids=1,2\n")
+    got = [r["url"] for r in seeds.load_start_urls(spark, str(p)).collect()]
+    assert got == ["http://a.test/p?ids=1,2"]
