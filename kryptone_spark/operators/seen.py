@@ -19,8 +19,6 @@ the probe code is identical either way).
 
 from __future__ import annotations
 
-import math
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -89,22 +87,29 @@ def build_bloom_sidecar(
     return [r.asDict() for r in rows]
 
 
+def merge_sidecars(a: list[dict], b: list[dict]) -> list[dict]:
+    """Incremental maintenance: a sidecar is an append-only LIST of
+    per-bucket blooms; probing ORs across every bloom of a bucket, so
+    merging a wave's delta sidecar is concatenation — no same-size
+    bit-OR, each delta keeps a bloom sized to its own row count."""
+    return list(a) + list(b)
+
+
 def probe_bloom(
     candidates: DataFrame,
     sidecar: list[dict],
     config: CrawlConfig,
     url_col: str = "url",
 ) -> DataFrame:
-    """Adds ``might_seen``: False ⇒ definitely not in seen."""
+    """Adds ``might_seen``: False ⇒ definitely not in seen. A bucket
+    may carry several blooms (one per merged delta) — a key is
+    maybe-seen if ANY of them hits."""
     spark = candidates.sparkSession
-    blooms = {
-        int(r["domain_bucket"]): (
-            np.frombuffer(r["bits"], dtype=np.uint8),
-            int(r["m"]),
-            int(r["k"]),
+    blooms: dict[int, list[tuple[np.ndarray, int, int]]] = {}
+    for r in sidecar:
+        blooms.setdefault(int(r["domain_bucket"]), []).append(
+            (np.frombuffer(r["bits"], dtype=np.uint8), int(r["m"]), int(r["k"]))
         )
-        for r in sidecar
-    }
     bc = spark.sparkContext.broadcast(blooms)
 
     @F.pandas_udf(T.BooleanType())
@@ -115,17 +120,19 @@ def probe_bloom(
         a1 = h1.to_numpy().astype(np.uint64)
         a2 = h2.to_numpy().astype(np.uint64) | np.uint64(1)
         for bk in np.unique(b):
-            entry = table.get(int(bk))
+            entries = table.get(int(bk))
             idx = np.where(b == bk)[0]
-            if entry is None:
+            if not entries:
                 continue  # no bloom for bucket ⇒ definitely new
-            bits, m, k = entry
-            pos = _positions(a1[idx], a2[idx], k, m)
-            hit = np.ones(len(idx), dtype=bool)
-            for i in range(k):
-                p = pos[i]
-                hit &= (bits[(p // 8).astype(np.int64)] >> (p % 8).astype(np.uint8)) & 1 == 1
-            out[idx] = hit
+            hit_any = np.zeros(len(idx), dtype=bool)
+            for bits, m, k in entries:
+                pos = _positions(a1[idx], a2[idx], k, m)
+                hit = np.ones(len(idx), dtype=bool)
+                for i in range(k):
+                    p = pos[i]
+                    hit &= (bits[(p // 8).astype(np.int64)] >> (p % 8).astype(np.uint8)) & 1 == 1
+                hit_any |= hit
+            out[idx] = hit_any
         return pd.Series(out)
 
     # materialize the resolved url ONCE behind a nondeterministic
@@ -165,12 +172,19 @@ def bloom_prefilter(
     config: CrawlConfig,
     visited: DataFrame | None = None,
     allow_home: bool | str = False,
+    sidecar: list[dict] | None = None,
 ) -> DataFrame:
     """Admission with bloom-prefiltered membership joins: candidates the
     bloom clears ("definitely new") skip the seen/visited joins entirely
     (visited ⊆ seen, so clearing seen clears visited too). Identical
-    output to plain ``admission.admit`` — tests pin equality."""
-    sidecar = build_bloom_sidecar(seen_urls, config)
+    output to plain ``admission.admit`` — tests pin equality.
+
+    Pass ``sidecar`` (maintained incrementally with merge_sidecars over
+    per-wave seen DELTAS) to avoid rebuilding the whole sidecar from
+    the full seen set — the rebuild is O(|seen|) per call, exactly the
+    cost the bloom exists to avoid."""
+    if sidecar is None:
+        sidecar = build_bloom_sidecar(seen_urls, config)
     probed = probe_bloom(links, sidecar, config)
     maybe = probed.where(F.col("might_seen")).drop("might_seen")
     fresh = probed.where(~F.col("might_seen")).drop("might_seen")
@@ -211,8 +225,13 @@ def build_cuckoo_sidecar(seen: DataFrame, config: CrawlConfig) -> dict[int, byte
     def _build(pdf: pd.DataFrame) -> pd.DataFrame:
         # a failed insert would mean a seen URL reads as definitely-new
         # — grow and rebuild until every key lands (2x capacity ≈ 0.5
-        # load, so the retry is a cold-path safety net, not a loop)
-        keys = pdf["h"].to_numpy().view(np.uint64)
+        # load, so the retry is a cold-path safety net, not a loop).
+        # Dedupe first: membership needs one copy, and >8 identical
+        # fingerprints can NEVER be placed (a key's two candidate
+        # buckets expose only 2x4 slots at any capacity — the grow
+        # loop would double forever); duplicates also break expiry
+        # (delete_many removes one copy, the key still reads seen).
+        keys = np.unique(pdf["h"].to_numpy().view(np.uint64))
         cap = max(64, 2 * len(pdf))
         while True:
             f = CuckooFilter(capacity=cap)

@@ -42,7 +42,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kryptone_spark.config import CrawlConfig
-from kryptone_spark.functions import urls as U
 from kryptone_spark.operators import admission, schedule
 from kryptone_spark.plans.tableio import TableIO
 
@@ -105,6 +104,10 @@ class WaveRunner:
         # ordering politeness needs can turn it off.
         self.global_rank = global_rank
         self._offset = 0.0
+        # incremental bloom sidecar (use_bloom): built once from the
+        # current seen state, then extended with each wave's seen DELTA
+        # — never rebuilt from the full set
+        self._bloom_sidecar: list[dict] | None = None
         # cumulative in-memory state (lineage-cut per wave)
         self._state: dict[str, DataFrame | None] = {
             "seen": None, "visited": None, "frontier": None, "robots_blocked": None,
@@ -251,10 +254,16 @@ class WaveRunner:
         seen = self._state["seen"]
         seen_urls = seen.select("url") if seen is not None else None
         if self.use_bloom and seen_urls is not None:
-            from kryptone_spark.operators.seen import bloom_prefilter
+            from kryptone_spark.operators.seen import (
+                bloom_prefilter,
+                build_bloom_sidecar,
+            )
+
+            if self._bloom_sidecar is None:
+                self._bloom_sidecar = build_bloom_sidecar(seen_urls, self.config)
             admitted = bloom_prefilter(
                 links, seen_urls, self.config, visited=visited,
-                allow_home=allow_home,
+                allow_home=allow_home, sidecar=self._bloom_sidecar,
             )
         else:
             admitted = admission.admit(
@@ -287,6 +296,24 @@ class WaveRunner:
             F.lit(wave + 1).alias("first_wave"),
             F.when(F.col("is_valid"), F.lit("valid")).otherwise(F.lit("rejected")).alias("verdict"),
         )
+        # first_wave means FIRST: a URL re-encountered in a later wave
+        # must not append another seen row — duplicates would multiply
+        # every candidate row through admission's membership left-join
+        # (and grow the seen table by one copy per re-encountering
+        # wave). P12's set-union semantics are an anti-join here.
+        if seen is not None:
+            seen_rows = seen_rows.join(seen.select("url"), "url", "left_anti")
+        if self.use_bloom and self._bloom_sidecar is not None:
+            from kryptone_spark.operators.seen import (
+                build_bloom_sidecar,
+                merge_sidecars,
+            )
+
+            # O(delta): only the wave's genuinely-new seen rows hash
+            self._bloom_sidecar = merge_sidecars(
+                self._bloom_sidecar,
+                build_bloom_sidecar(seen_rows, self.config),
+            )
         new_frontier = per_url.where(F.col("is_valid") & ~F.col("filtered")).select(
             "url", "domain", "domain_bucket",
             F.lit(wave + 1).alias("depth"),
@@ -369,8 +396,11 @@ class WaveRunner:
         # rebuild the virtual clock offset from committed batches
         fb = self.io.read("fetch_batches")
         if fb is not None:
+            # cast, not unix_timestamp: truncating fetch_at to whole
+            # seconds would make resumed schedules diverge from an
+            # uninterrupted run whenever crawl delays are fractional
             row = fb.agg(
-                F.max(F.unix_timestamp("fetch_at") + F.col("crawl_delay"))
+                F.max(F.col("fetch_at").cast("double") + F.col("crawl_delay"))
             ).collect()[0][0]
             if row is not None:
                 self._offset = max(0.0, row - schedule.EPOCH.timestamp())

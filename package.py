@@ -34,8 +34,6 @@ spark-submit --py-files kryptone_spark.zip submit_crawl.py \\
 
 import argparse
 
-from pyspark.sql import SparkSession
-
 from kryptone_spark.config import CrawlConfig
 from kryptone_spark.plans.tableio import TableIO
 from kryptone_spark.plans.waves import WaveRunner
@@ -51,14 +49,11 @@ def main() -> None:
     ap.add_argument("--checkpoint-interval", type=int, default=1)
     args = ap.parse_args()
 
-    spark = (
-        SparkSession.builder.appName("kryptone-spark-crawl")
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.session.timeZone", "UTC")
-        .getOrCreate()
-    )
+    from kryptone_spark.session import get_spark
+
+    # master=None: spark-submit --master decides; a master set in code
+    # would silently run the "cluster" job on local[N]
+    spark = get_spark(app_name="kryptone-spark-crawl", master=None)
     config = CrawlConfig(start_urls=args.seeds, ignore_images=True)
     docs = spark.read.parquet(args.documents)
     runner = WaveRunner(
