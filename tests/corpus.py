@@ -1,7 +1,22 @@
-"""URL test corpus — the reference's validity corpus reused verbatim
-as *data* (/root/reference/tests/test_spider.py:13-235 is itself the
-public Django URL-validation corpus). Trimmed to string entries; the
-None/int entries are covered by dedicated null tests."""
+"""URL test corpus — CURATED from the reference's validity corpus
+(/root/reference/tests/test_spider.py:13-235, itself the public Django
+URL-validation corpus), not a verbatim copy:
+
+- dropped: None/int entries (covered by dedicated null tests), and
+  URL classes whose observable crawl behaviour is identical for the
+  engine and the oracle regardless of "validity" — unicode/punycode
+  hosts, userinfo variants, and syntactically-odd IPv4 literals all
+  fail the same-domain check (P4) against any test seed, so they
+  exercise no additional predicate path (admission "validity" is
+  domain membership + the P1-P13 predicates, not RFC validity — the
+  reference's crawler makes the same reduction, base.py:694-696);
+- added: IPv6-literal and embedded-whitespace entries that DO hit
+  engine-specific parsing paths (bracket-aware host split, the
+  tab/CR/LF stripping rules) which the Django corpus lacks.
+
+The authority for parity is verdict+reason equality with the Python
+oracle over this corpus (test_corpus_parity), plus the urlparse fuzz
+suite (test_url_parse_property.py) for the raw splitter."""
 
 VALID_URLS = [
     "http://www.example.com/",

@@ -25,6 +25,13 @@ import duckdb
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 ONLY = set(sys.argv[2:])
 
+
+def _validate_only(known: set[str]) -> None:
+    """A typo in ONLY must not produce a green '0 ok, 0 fail' run."""
+    unknown = ONLY - known
+    if unknown:
+        sys.exit(f"unknown query name(s): {sorted(unknown)}")
+
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
@@ -39,7 +46,12 @@ def canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.6g}"
+        # round(9), matching tests/test_entry.py's normalize(): the two
+        # harnesses must agree on tolerance or a query can pass one
+        # gate and fail the other; queries round explicitly (6-8 dp)
+        # wherever cross-engine float math happens, so this is a
+        # drift DETECTOR, not a mask
+        return repr(round(v, 9))
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(canon(x) for x in v) + "]"
     if isinstance(v, dict):
@@ -81,6 +93,7 @@ def main():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     qs = entry.queries()
+    _validate_only(set(qs))
     oracles = entry.oracle_sql()
     n_pass = n_fail = n_rowsonly = 0
     for name, fn in qs.items():
