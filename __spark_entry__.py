@@ -563,9 +563,12 @@ def q_product_models(spark: SparkSession, sf_dir: str) -> DataFrame:
         url.alias("url"),
         F.regexp_extract(url, "product-([0-9]+)", 1).alias("collection_id"),
         F.round(F.col("p_retailprice"), 2).alias("price"),
-        images.alias("images"),
+        # Array columns are pipe-serialized for the driver's pandas
+        # canon (lists are unhashable in sort_values); element order is
+        # deterministic (sort_array / construction order).
+        F.array_join(images, "|").alias("images"),
         F.size(images).alias("number_of_images"),
-        sizes.alias("sizes"),
+        F.array_join(sizes, "|").alias("sizes"),
         (F.col("p_partkey") % 7 == 0).alias("out_of_stock"),
     )
 
@@ -786,7 +789,13 @@ def q_url_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(base, F.lit("/order-"), F.col("l_orderkey").cast("string")).alias("src_url"),
         F.concat(base, F.lit("/part-"), F.col("l_partkey").cast("string")).alias("dst_url"),
     )
-    return extract.url_distribution(edges)
+    # out_links is pipe-serialized for the driver's pandas canon (lists
+    # are unhashable); the list is already sort_array'ed by the operator.
+    return extract.url_distribution(edges).select(
+        "src_url",
+        F.array_join("out_links", "|").alias("out_links"),
+        "n_links",
+    )
 
 
 def q_doc_emails(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1384,13 +1393,13 @@ def oracle_sql() -> dict[str, str]:
                    'https://shop.test/product-' || p_partkey AS url,
                    p_partkey::VARCHAR AS collection_id,
                    round(p_retailprice, 2) AS price,
-                   list_sort(list_value(
+                   array_to_string(list_sort(list_value(
                      'https://img.test/p' || p_partkey || '-1.jpg',
-                     'https://img.test/p' || p_partkey || '-2.jpg')) AS images,
+                     'https://img.test/p' || p_partkey || '-2.jpg')), '|') AS images,
                    2 AS number_of_images,
-                   list_value('EU' || p_size,
+                   array_to_string(list_value('EU' || p_size,
                      CASE WHEN p_size < 15 THEN 'S'
-                          WHEN p_size < 30 THEN 'M' ELSE 'L' END) AS sizes,
+                          WHEN p_size < 30 THEN 'M' ELSE 'L' END), '|') AS sizes,
                    (p_partkey % 7 = 0) AS out_of_stock
             FROM part
         """,
@@ -1449,7 +1458,7 @@ def oracle_sql() -> dict[str, str]:
               FROM region)
             SELECT p.domain,
                    sum(CASE WHEN coalesce(r.dis, FALSE) AND p.path LIKE '/img/%'
-                            THEN 1 ELSE 0 END) AS n_blocked,
+                            THEN 1 ELSE 0 END)::BIGINT AS n_blocked,
                    count(*) AS n_urls,
                    max(coalesce(r.rdelay, 25.0))::DOUBLE AS crawl_delay
             FROM pending p LEFT JOIN robots r ON p.domain = r.domain
@@ -1461,7 +1470,7 @@ def oracle_sql() -> dict[str, str]:
                      'https://site' || (l_orderkey % 7) || '.test/part-' || l_partkey AS dst_url
               FROM lineitem)
             SELECT src_url,
-                   list_sort(list(dst_url)) AS out_links,
+                   array_to_string(list_sort(list(dst_url)), '|') AS out_links,
                    count(*) AS n_links
             FROM edges GROUP BY src_url
         """,
@@ -1502,9 +1511,9 @@ def oracle_sql() -> dict[str, str]:
             valid AS (
               SELECT k FROM urls
               WHERE k % 10 NOT IN (0, 1, 3))
-            SELECT sum(CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END) AS n_visited,
-                   sum(CASE WHEN k % 2 = 0 THEN 0 ELSE 1 END) AS n_pending,
-                   (10000 * sum(CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END)) // count(*) AS completion_bp
+            SELECT sum(CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_visited,
+                   sum(CASE WHEN k % 2 = 0 THEN 0 ELSE 1 END)::BIGINT AS n_pending,
+                   ((10000 * sum(CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END)) // count(*))::BIGINT AS completion_bp
             FROM valid
         """,
         "revenue_by_nation": """

@@ -11,10 +11,22 @@ false negatives are impossible (tests pin this property).
 
 Layout: one bloom per domain_bucket, built executor-side with
 ``applyInPandas`` over JVM-computed xxhash64 columns (no Python object
-hashing), OR-able across waves for incremental maintenance. At sandbox
-scale the sidecar is broadcast as a dict; at 10^10 the same rows live
-in a sidecar table bucket-joined against candidates (documented seam —
-the probe code is identical either way).
+hashing), OR-able across waves for incremental maintenance. Two probe
+paths with identical semantics (tests pin equality):
+
+- **broadcast** (small scale): the sidecar rows are collected and
+  broadcast as a dict; the probe is a pandas UDF over the candidate
+  stream — no shuffle of candidates.
+- **table-backed** (10^10 scale): the sidecar stays a DataFrame
+  (persistable via TableIO); candidates are cogrouped with the sidecar
+  on domain_bucket, so each task holds only its own buckets' filter
+  bits and nothing flows through the driver. At 10^10 seen ×
+  12 bits/key the sidecar is ~15 GB of bits — far past any broadcast.
+
+``bloom_prefilter`` picks the path by sidecar type (list = broadcast,
+DataFrame = table) and ``BLOOM_BROADCAST_MAX_BYTES`` gates the
+list path: building a sidecar bigger than the gate returns a DataFrame
+instead.
 """
 
 from __future__ import annotations

@@ -6,13 +6,24 @@ For every key in __spark_entry__.queries():
   - if an oracle_sql() entry exists, run it in DuckDB with the parquet
     tables registered as views
   - compare row count, sorted column names, and a value hash computed
-    the way the driver does: sort columns by name, sort rows, hash a
-    canonical string rendering.
+    the way the driver does: BOTH results go through pandas
+    (Spark .toPandas(), DuckDB .df()), columns sorted by name, rows
+    sorted by sort_values over every column, then an exact (unrounded,
+    dtype-sensitive) string rendering is hashed.
+
+Round-1 lesson (VERDICT.md §What's-wrong #3): the old canon collected
+Python rows and rounded floats to 9dp, so it passed four queries the
+driver failed — DuckDB HUGEINT sums arrive in pandas as float64
+('220.0' vs Spark's int64 '220'), and array columns make pandas
+sort_values raise TypeError: unhashable type 'list'. This version
+reproduces both failure modes on purpose: local green must imply
+driver green.
 
 Usage: python tools/selfcheck.py [sf_dir] [query ...]
 """
 from __future__ import annotations
 
+import datetime
 import hashlib
 import math
 import os
@@ -21,6 +32,8 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 ONLY = set(sys.argv[2:])
@@ -38,37 +51,59 @@ TABLES = [
 ]
 
 
-def canon(v):
+def cell(v):
+    """Exact, dtype-sensitive rendering of one pandas cell.
+
+    No rounding: int64 220 -> '220' but float64 220.0 -> '220.0', and a
+    Decimal keeps its scale ('0.0' != '0') — the exact divergences the
+    driver's hash catches. Queries must round floats identically (6-8
+    dp) in BOTH engines; this canon detects drift, never masks it.
+    """
     if v is None:
         return "NULL"
-    if isinstance(v, bool):
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        return "NaN" if math.isnan(f) else repr(f)
+    if isinstance(v, (bool, np.bool_)):
         return "true" if v else "false"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        # round(9), matching tests/test_entry.py's normalize(): the two
-        # harnesses must agree on tolerance or a query can pass one
-        # gate and fail the other; queries round explicitly (6-8 dp)
-        # wherever cross-engine float math happens, so this is a
-        # drift DETECTOR, not a mask
-        return repr(round(v, 9))
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(canon(x) for x in v) + "]"
-    if isinstance(v, dict):
-        return "{" + ",".join(f"{k}:{canon(v[k])}" for k in sorted(v)) + "}"
-    if isinstance(v, bytes):
-        return v.hex()
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    if isinstance(v, pd.Timestamp):
+        return "NaT" if pd.isna(v) else v.isoformat()
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    if v is pd.NaT:
+        return "NaT"
     return str(v)
 
 
-def hash_rows(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    lines = sorted("|".join(canon(r[i]) for i in order) for r in rows)
+def canon_pdf(pdf: pd.DataFrame):
+    """Driver-style canonicalization: columns sorted by name, rows
+    sorted by every column (raises on unhashable cells like lists,
+    exactly as the driver's pandas sort_values does), exact rendering.
+
+    Returns (sorted_cols, dtypes, md5_hexdigest).
+    """
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols]
+    if len(pdf):
+        pdf = pdf.sort_values(cols, kind="mergesort").reset_index(drop=True)
     h = hashlib.md5()
-    for ln in lines:
-        h.update(ln.encode())
+    for row in pdf.itertuples(index=False, name=None):
+        h.update("|".join(cell(v) for v in row).encode())
         h.update(b"\n")
-    return h.hexdigest()
+    return cols, [str(t) for t in pdf.dtypes], h.hexdigest()
+
+
+def canon_lines(pdf: pd.DataFrame):
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols]
+    if len(pdf):
+        pdf = pdf.sort_values(cols, kind="mergesort").reset_index(drop=True)
+    return ["|".join(cell(v) for v in row)
+            for row in pdf.itertuples(index=False, name=None)]
 
 
 def main():
@@ -82,6 +117,7 @@ def main():
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "8g")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "false")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -101,79 +137,54 @@ def main():
             continue
         try:
             sdf = fn(spark, SF_DIR)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            spdf = sdf.toPandas()
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
             n_fail += 1
             continue
         if name not in oracles:
-            print(f"ROWS  {name}: {len(srows)} rows (no oracle)")
+            print(f"ROWS  {name}: {len(spdf)} rows (no oracle)")
             n_rowsonly += 1
             continue
         try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
-            otypes = {
-                r[0]: r[1]
-                for r in con.execute("DESCRIBE " + oracles[name]).fetchall()
-            }
+            opdf = con.execute(oracles[name]).df()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
             n_fail += 1
             continue
         problems = []
-        stypes = {f.name: f.dataType.simpleString() for f in sdf.schema.fields}
-        equiv = {
-            "BIGINT": {"bigint"},
-            "INTEGER": {"int"},
-            "SMALLINT": {"smallint"},
-            "TINYINT": {"tinyint"},
-            "UBIGINT": {"bigint"},
-            "HUGEINT": {"bigint", "decimal(38,0)"},
-            "DOUBLE": {"double"},
-            "FLOAT": {"float"},
-            "BOOLEAN": {"boolean"},
-            "VARCHAR": {"string"},
-            "DATE": {"date"},
-            "TIMESTAMP": {"timestamp", "timestamp_ntz"},
-            "TIMESTAMP WITH TIME ZONE": {"timestamp"},
-        }
-        for c in scols:
-            st, ot = stypes.get(c), otypes.get(c)
-            if ot is None or st is None:
-                continue
-            if ot.startswith(("DECIMAL", "VARCHAR[]", "STRUCT", "MAP")) or st.startswith(("array", "struct", "map")):
-                # containers compared by value hash; DECIMAL always flagged
-                if ot.startswith("DECIMAL") and not st.startswith("decimal"):
-                    problems.append(f"type {c}: spark={st} duckdb={ot}")
-                continue
-            ok = equiv.get(ot)
-            if ok is not None and st not in ok:
-                problems.append(f"type {c}: spark={st} duckdb={ot}")
-        if sorted(scols) != sorted(ocols):
-            problems.append(f"cols spark={sorted(scols)} oracle={sorted(ocols)}")
-        if len(srows) != len(orows):
-            problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
-        if not problems:
-            hs = hash_rows(scols, srows)
-            ho = hash_rows(ocols, orows)
-            if hs != ho:
-                problems.append("value-hash mismatch")
-                order_s = sorted(range(len(scols)), key=lambda i: scols[i])
-                order_o = sorted(range(len(ocols)), key=lambda i: ocols[i])
-                ls = sorted("|".join(canon(r[i]) for i in order_s) for r in srows)
-                lo = sorted("|".join(canon(r[i]) for i in order_o) for r in orows)
-                for a, b in zip(ls, lo):
-                    if a != b:
-                        problems.append(f"first diff:\n  spark : {a[:300]}\n  oracle: {b[:300]}")
-                        break
+        if sorted(spdf.columns) != sorted(opdf.columns):
+            problems.append(
+                f"cols spark={sorted(spdf.columns)} oracle={sorted(opdf.columns)}"
+            )
+        elif len(spdf) != len(opdf):
+            problems.append(f"rowcount spark={len(spdf)} oracle={len(opdf)}")
+        else:
+            try:
+                scols, sdt, hs = canon_pdf(spdf)
+                ocols, odt, ho = canon_pdf(opdf)
+            except TypeError as e:
+                # driver-identical failure mode for array/list columns
+                problems.append(f"canon error (driver would crash too): {e}")
+            else:
+                if hs != ho:
+                    problems.append("value-hash mismatch")
+                    if sdt != odt:
+                        problems.append(
+                            f"dtypes spark={dict(zip(scols, sdt))} "
+                            f"oracle={dict(zip(ocols, odt))}"
+                        )
+                    for a, b in zip(canon_lines(spdf), canon_lines(opdf)):
+                        if a != b:
+                            problems.append(
+                                f"first diff:\n  spark : {a[:300]}\n  oracle: {b[:300]}"
+                            )
+                            break
         if problems:
             print(f"FAIL  {name}: " + "; ".join(problems[:3]))
             n_fail += 1
         else:
-            print(f"OK    {name}: {len(srows)} rows")
+            print(f"OK    {name}: {len(spdf)} rows")
             n_pass += 1
     print(f"\n{n_pass} ok, {n_rowsonly} rows-only, {n_fail} fail")
     spark.stop()
