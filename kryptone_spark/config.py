@@ -73,12 +73,28 @@ class CrawlConfig:
     # partitioning (engine-only; W4 salted domain buckets)
     n_domain_buckets: int = 64
 
+    # hot-domain skew salting for the politeness top-k window (W4).
+    # None = auto: on (8 salt buckets) whenever the per-domain budget is
+    # finite — exactly the case where one domain holding most of the
+    # frontier would otherwise rank in a single task; 0/1 disables.
+    salt_buckets: int | None = None
+
     # canonicalization: "parity" reproduces the reference's observable
     # URL identity (resolved string, fragments *rejected* not stripped);
     # "full" is the north-rule canonicalizer (strip fragment/tracking
     # params, lowercase scheme+host, normalize trailing slash).
     canonicalize: str = "parity"
     tracking_params: tuple[str, ...] = DEFAULT_TRACKING_PARAMS
+
+    @property
+    def effective_salt_buckets(self) -> int:
+        """Resolved W4 salting: explicit value wins; auto (None) turns
+        salting on only when a finite per-domain budget makes the
+        salted phase-1 window actually filter rows (an unbounded budget
+        would make it a pure extra shuffle)."""
+        if self.salt_buckets is not None:
+            return self.salt_buckets
+        return 8 if self.max_per_domain_per_wave < 1_000_000_000 else 0
 
     @property
     def start_url(self) -> str | None:

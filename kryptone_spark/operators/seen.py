@@ -57,14 +57,35 @@ def _positions(h1: np.ndarray, h2: np.ndarray, k: int, m: int) -> np.ndarray:
     return (h1[None, :] + i * h2[None, :]) % np.uint64(m)
 
 
-def build_bloom_sidecar(
+# broadcast-path ceiling: past this many filter bytes the sidecar must
+# live as a table (bucket-join probe), not a driver dict — at 10^10
+# seen keys x 12 bits the bits alone are ~15 GB
+BLOOM_BROADCAST_MAX_BYTES: int = 512 << 20
+
+# broadcasts created by probe_bloom/probe_cuckoo this session; the wave
+# loop releases them after each wave so executor copies don't pile up
+# O(#waves) (a released broadcast is re-shipped automatically if a lazy
+# plan re-executes the probe — unpersist, never destroy)
+_LIVE_BROADCASTS: list = []
+
+
+def release_bloom_broadcasts() -> None:
+    for bc in _LIVE_BROADCASTS:
+        try:
+            bc.unpersist(blocking=False)
+        except Exception:
+            pass
+    _LIVE_BROADCASTS.clear()
+
+
+def _sidecar_df(
     seen: DataFrame,
     config: CrawlConfig,
     bits_per_key: int = 12,
     k: int = 7,
     min_bits: int = 1 << 12,
-) -> list[dict]:
-    """One bloom per domain_bucket. Hashing happens JVM-side
+) -> DataFrame:
+    """(domain_bucket, m, k, bits) bloom rows. Hashing happens JVM-side
     (xxhash64 with two seeds); the pandas stage only sets bits."""
     hashed = seen.select(
         U.domain_bucket(U.netloc(F.col("url")), config.n_domain_buckets).alias(
@@ -91,20 +112,167 @@ def build_bloom_sidecar(
             }
         )
 
-    rows = (
-        hashed.groupBy("domain_bucket")
-        .applyInPandas(_build, schema=_SIDECAR_SCHEMA)
-        .collect()
-    )
+    return hashed.groupBy("domain_bucket").applyInPandas(_build, schema=_SIDECAR_SCHEMA)
+
+
+def build_bloom_sidecar(
+    seen: DataFrame,
+    config: CrawlConfig,
+    bits_per_key: int = 12,
+    k: int = 7,
+    min_bits: int = 1 << 12,
+) -> list[dict]:
+    """Small-scale (broadcast-path) sidecar: the bloom rows collected
+    to a list. Use build_bloom_sidecar_table past
+    BLOOM_BROADCAST_MAX_BYTES."""
+    rows = _sidecar_df(seen, config, bits_per_key, k, min_bits).collect()
     return [r.asDict() for r in rows]
 
 
-def merge_sidecars(a: list[dict], b: list[dict]) -> list[dict]:
-    """Incremental maintenance: a sidecar is an append-only LIST of
-    per-bucket blooms; probing ORs across every bloom of a bucket, so
-    merging a wave's delta sidecar is concatenation — no same-size
-    bit-OR, each delta keeps a bloom sized to its own row count."""
+def build_bloom_sidecar_table(
+    seen: DataFrame,
+    config: CrawlConfig,
+    bits_per_key: int = 12,
+    k: int = 7,
+    min_bits: int = 1 << 12,
+) -> DataFrame:
+    """Scale-path sidecar: the same (domain_bucket, m, k, bits) rows as
+    a DataFrame that never touches the driver — persist via TableIO /
+    parquet partitioned on domain_bucket and probe with
+    probe_bloom_table's bucket cogroup."""
+    return _sidecar_df(seen, config, bits_per_key, k, min_bits)
+
+
+def sidecar_bytes(sidecar: list[dict]) -> int:
+    """Total filter payload of a list sidecar — compare against
+    BLOOM_BROADCAST_MAX_BYTES before choosing the broadcast path."""
+    return sum(len(r["bits"]) for r in sidecar)
+
+
+def merge_sidecars(a, b):
+    """Incremental maintenance: a sidecar is an append-only collection
+    of per-bucket blooms; probing ORs across every bloom of a bucket,
+    so merging a wave's delta sidecar is concatenation (list path) or
+    union (table path) — no same-size bit-OR needed, each delta keeps a
+    bloom sized to its own row count. Compact periodically with
+    compact_sidecars / compact_sidecar_table."""
+    if isinstance(a, DataFrame) or isinstance(b, DataFrame):
+        return a.unionByName(b)
     return list(a) + list(b)
+
+
+def compact_sidecars(sidecar: list[dict]) -> list[dict]:
+    """OR together same-shape blooms of a bucket so probe cost stops
+    growing O(#waves) on long crawls. Small per-wave deltas all hit the
+    min_bits floor, so they share (m, k) and collapse to one entry;
+    differently-sized blooms stay separate (ORing different m is
+    undefined) — if a bucket still exceeds a caller's bound after this,
+    rebuild that sidecar from the full seen state (amortized: a rebuild
+    every B waves costs O(|seen|/B) per wave)."""
+    merged: dict[tuple[int, int, int], np.ndarray] = {}
+    for r in sidecar:
+        key = (int(r["domain_bucket"]), int(r["m"]), int(r["k"]))
+        bits = np.frombuffer(r["bits"], dtype=np.uint8)
+        if key in merged:
+            merged[key] = merged[key] | bits
+        else:
+            merged[key] = bits.copy()
+    return [
+        {"domain_bucket": bk, "m": m, "k": k, "bits": bits.tobytes()}
+        for (bk, m, k), bits in merged.items()
+    ]
+
+
+def compact_sidecar_table(sidecar: DataFrame) -> DataFrame:
+    """Table-path twin of compact_sidecars: one shuffle on
+    domain_bucket, same same-(m,k)-OR semantics."""
+
+    def _compact(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = compact_sidecars(pdf.to_dict("records"))
+        return pd.DataFrame(rows, columns=["domain_bucket", "m", "k", "bits"])
+
+    return sidecar.groupBy("domain_bucket").applyInPandas(
+        _compact, schema=_SIDECAR_SCHEMA
+    )
+
+
+def _bloom_hits(
+    cand: pd.DataFrame, entries: list[tuple[np.ndarray, int, int]]
+) -> np.ndarray:
+    """Vectorized membership of cand's (h1, h2) against a bucket's
+    bloom entries — shared by both probe paths so their semantics
+    cannot drift."""
+    a1 = cand["__h1"].to_numpy().astype(np.uint64)
+    a2 = cand["__h2"].to_numpy().astype(np.uint64) | np.uint64(1)
+    hit_any = np.zeros(len(cand), dtype=bool)
+    for bits, m, k in entries:
+        pos = _positions(a1, a2, k, m)
+        hit = np.ones(len(cand), dtype=bool)
+        for i in range(k):
+            p = pos[i]
+            hit &= (bits[(p // 8).astype(np.int64)] >> (p % 8).astype(np.uint8)) & 1 == 1
+        hit_any |= hit
+    return hit_any
+
+
+def probe_bloom_table(
+    candidates: DataFrame,
+    sidecar: DataFrame,
+    config: CrawlConfig,
+    url_col: str = "url",
+) -> DataFrame:
+    """Table-backed probe: candidates cogrouped with the sidecar on
+    domain_bucket. Each task sees only its buckets' filter bits —
+    nothing is collected or broadcast, so the sidecar can be arbitrarily
+    large (10^10-key scale). One shuffle of the candidate slice on
+    domain_bucket; the sidecar side is O(#buckets) rows. Callers should
+    project candidates to the columns they need first — every column
+    rides the Arrow transfer.
+
+    Identical ``might_seen`` semantics to probe_bloom (a key is
+    maybe-seen if ANY of the bucket's blooms hits); tests pin
+    equality of the two paths."""
+    prep = candidates.select(
+        "*",
+        U.resolve_relative(F.col(url_col), F.lit(_origin_lit(config))).alias(
+            "__resolved"
+        ),
+        # nondeterministic barrier: stops CollapseProject inlining the
+        # dot-segment fold into the three hash projections below (same
+        # pattern as probe_bloom / admission.admit)
+        F.monotonically_increasing_id().alias("__pb"),
+    ).select(
+        "*",
+        U.domain_bucket(U.netloc(F.col("__resolved")), config.n_domain_buckets).alias(
+            "__bk"
+        ),
+        F.xxhash64(F.col("__resolved"), F.lit(1)).alias("__h1"),
+        F.xxhash64(F.col("__resolved"), F.lit(2)).alias("__h2"),
+    ).drop("__resolved", "__pb")
+
+    out_fields = list(prep.schema.fields) + [
+        T.StructField("might_seen", T.BooleanType(), False)
+    ]
+    out_schema = T.StructType(out_fields)
+    out_cols = [f.name for f in out_fields]
+
+    def _probe(cand: pd.DataFrame, side: pd.DataFrame) -> pd.DataFrame:
+        if len(cand) == 0:
+            return pd.DataFrame(columns=out_cols)
+        entries = [
+            (np.frombuffer(r["bits"], dtype=np.uint8), int(r["m"]), int(r["k"]))
+            for r in side.to_dict("records")
+        ]
+        out = cand.copy()
+        out["might_seen"] = _bloom_hits(cand, entries)
+        return out[out_cols]
+
+    res = (
+        prep.groupBy("__bk")
+        .cogroup(sidecar.groupBy("domain_bucket"))
+        .applyInPandas(_probe, schema=out_schema)
+    )
+    return res.drop("__bk", "__h1", "__h2")
 
 
 def probe_bloom(
@@ -123,28 +291,20 @@ def probe_bloom(
             (np.frombuffer(r["bits"], dtype=np.uint8), int(r["m"]), int(r["k"]))
         )
     bc = spark.sparkContext.broadcast(blooms)
+    _LIVE_BROADCASTS.append(bc)
 
     @F.pandas_udf(T.BooleanType())
     def _probe(bucket: pd.Series, h1: pd.Series, h2: pd.Series) -> pd.Series:
         table = bc.value
         out = np.zeros(len(bucket), dtype=bool)
         b = bucket.to_numpy()
-        a1 = h1.to_numpy().astype(np.uint64)
-        a2 = h2.to_numpy().astype(np.uint64) | np.uint64(1)
+        cand = pd.DataFrame({"__h1": h1, "__h2": h2})
         for bk in np.unique(b):
             entries = table.get(int(bk))
             idx = np.where(b == bk)[0]
             if not entries:
                 continue  # no bloom for bucket ⇒ definitely new
-            hit_any = np.zeros(len(idx), dtype=bool)
-            for bits, m, k in entries:
-                pos = _positions(a1[idx], a2[idx], k, m)
-                hit = np.ones(len(idx), dtype=bool)
-                for i in range(k):
-                    p = pos[i]
-                    hit &= (bits[(p // 8).astype(np.int64)] >> (p % 8).astype(np.uint8)) & 1 == 1
-                hit_any |= hit
-            out[idx] = hit_any
+            out[idx] = _bloom_hits(cand.iloc[idx], entries)
         return pd.Series(out)
 
     # materialize the resolved url ONCE behind a nondeterministic
@@ -184,7 +344,7 @@ def bloom_prefilter(
     config: CrawlConfig,
     visited: DataFrame | None = None,
     allow_home: bool | str = False,
-    sidecar: list[dict] | None = None,
+    sidecar: list[dict] | DataFrame | None = None,
 ) -> DataFrame:
     """Admission with bloom-prefiltered membership joins: candidates the
     bloom clears ("definitely new") skip the seen/visited joins entirely
@@ -194,10 +354,15 @@ def bloom_prefilter(
     Pass ``sidecar`` (maintained incrementally with merge_sidecars over
     per-wave seen DELTAS) to avoid rebuilding the whole sidecar from
     the full seen set — the rebuild is O(|seen|) per call, exactly the
-    cost the bloom exists to avoid."""
+    cost the bloom exists to avoid. A list sidecar probes via
+    broadcast; a DataFrame sidecar probes via the table-backed bucket
+    cogroup (the 10^10 path — nothing through the driver)."""
     if sidecar is None:
         sidecar = build_bloom_sidecar(seen_urls, config)
-    probed = probe_bloom(links, sidecar, config)
+    if isinstance(sidecar, DataFrame):
+        probed = probe_bloom_table(links, sidecar, config)
+    else:
+        probed = probe_bloom(links, sidecar, config)
     maybe = probed.where(F.col("might_seen")).drop("might_seen")
     fresh = probed.where(~F.col("might_seen")).drop("might_seen")
     a_maybe = admission.admit(
@@ -270,6 +435,7 @@ def probe_cuckoo(
 
     spark = candidates.sparkSession
     bc = spark.sparkContext.broadcast(sidecar)
+    _LIVE_BROADCASTS.append(bc)
 
     @F.pandas_udf(T.BooleanType())
     def _probe(bucket: pd.Series, h: pd.Series) -> pd.Series:

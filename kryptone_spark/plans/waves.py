@@ -80,6 +80,7 @@ class WaveRunner:
         io: TableIO,
         robots: DataFrame | None = None,
         use_bloom: bool = False,
+        bloom_mode: str = "broadcast",
         checkpoint_interval: int = 1,
         write_edges: bool = True,
         collect_stats: bool = True,
@@ -91,6 +92,12 @@ class WaveRunner:
         self.io = io
         self.robots = robots
         self.use_bloom = use_bloom
+        # "broadcast": sidecar collected + broadcast (small scale);
+        # "table": sidecar stays a DataFrame, probed via bucket cogroup
+        # — the 10^10 path where filter bits never touch the driver
+        if bloom_mode not in ("broadcast", "table"):
+            raise ValueError(f"bloom_mode must be broadcast|table, got {bloom_mode!r}")
+        self.bloom_mode = bloom_mode
         self.checkpoint_interval = max(1, checkpoint_interval)
         self.write_edges = write_edges
         # collect_stats=False skips the per-wave candidate/out-count
@@ -106,8 +113,12 @@ class WaveRunner:
         self._offset = 0.0
         # incremental bloom sidecar (use_bloom): built once from the
         # current seen state, then extended with each wave's seen DELTA
-        # — never rebuilt from the full set
-        self._bloom_sidecar: list[dict] | None = None
+        # — never rebuilt from the full set; compacted (same-size OR)
+        # when a bucket accumulates too many delta entries. list when
+        # bloom_mode=broadcast, DataFrame when bloom_mode=table.
+        self._bloom_sidecar: list[dict] | DataFrame | None = None
+        self._bloom_deltas = 0  # merges since last compaction
+        self.bloom_compact_every = 8
         # cumulative in-memory state (lineage-cut per wave)
         self._state: dict[str, DataFrame | None] = {
             "seen": None, "visited": None, "frontier": None, "robots_blocked": None,
@@ -198,6 +209,7 @@ class WaveRunner:
         batch, new_blocked = schedule.politeness_schedule(
             pending, self.config, wave, robots=self.robots,
             wave_start_offset=self._offset, global_rank=self.global_rank,
+            salt_buckets=self.config.effective_salt_buckets,
         )
         batch = batch.localCheckpoint(eager=False)
         # one job: materializes the lazy checkpoint AND collects the
@@ -257,10 +269,16 @@ class WaveRunner:
             from kryptone_spark.operators.seen import (
                 bloom_prefilter,
                 build_bloom_sidecar,
+                build_bloom_sidecar_table,
             )
 
             if self._bloom_sidecar is None:
-                self._bloom_sidecar = build_bloom_sidecar(seen_urls, self.config)
+                self._bloom_sidecar = (
+                    build_bloom_sidecar_table(seen_urls, self.config)
+                    .localCheckpoint(eager=False)
+                    if self.bloom_mode == "table"
+                    else build_bloom_sidecar(seen_urls, self.config)
+                )
             admitted = bloom_prefilter(
                 links, seen_urls, self.config, visited=visited,
                 allow_home=allow_home, sidecar=self._bloom_sidecar,
@@ -303,17 +321,39 @@ class WaveRunner:
         # wave). P12's set-union semantics are an anti-join here.
         if seen is not None:
             seen_rows = seen_rows.join(seen.select("url"), "url", "left_anti")
+        # materialize the delta ONCE: the sidecar build below collects
+        # (or checkpoints) it eagerly, and _append_state/_queue_flush
+        # then reuse the checkpointed RDD instead of recomputing the
+        # anti-join + per-url agg DAG per consumer
+        seen_rows = seen_rows.localCheckpoint(eager=False)
         if self.use_bloom and self._bloom_sidecar is not None:
             from kryptone_spark.operators.seen import (
                 build_bloom_sidecar,
+                build_bloom_sidecar_table,
+                compact_sidecar_table,
+                compact_sidecars,
                 merge_sidecars,
             )
 
             # O(delta): only the wave's genuinely-new seen rows hash
-            self._bloom_sidecar = merge_sidecars(
-                self._bloom_sidecar,
-                build_bloom_sidecar(seen_rows, self.config),
+            delta = (
+                build_bloom_sidecar_table(seen_rows, self.config)
+                if self.bloom_mode == "table"
+                else build_bloom_sidecar(seen_rows, self.config)
             )
+            self._bloom_sidecar = merge_sidecars(self._bloom_sidecar, delta)
+            self._bloom_deltas += 1
+            # same-(m,k) OR compaction bounds probe cost on long crawls
+            # (small deltas all sit at the min_bits floor, so they
+            # collapse to one bloom per bucket)
+            if self._bloom_deltas >= self.bloom_compact_every:
+                self._bloom_sidecar = (
+                    compact_sidecar_table(self._bloom_sidecar)
+                    .localCheckpoint(eager=False)
+                    if self.bloom_mode == "table"
+                    else compact_sidecars(self._bloom_sidecar)
+                )
+                self._bloom_deltas = 0
         new_frontier = per_url.where(F.col("is_valid") & ~F.col("filtered")).select(
             "url", "domain", "domain_bucket",
             F.lit(wave + 1).alias("depth"),
@@ -353,6 +393,14 @@ class WaveRunner:
         if (wave + 1) % self.checkpoint_interval == 0:
             self.flush()
 
+        # drop executor copies of this wave's probe broadcasts so they
+        # don't pile up O(#waves); a lazy plan that re-executes a probe
+        # simply re-ships the broadcast (unpersist, never destroy)
+        if self.use_bloom:
+            from kryptone_spark.operators.seen import release_bloom_broadcasts
+
+            release_bloom_broadcasts()
+
         dur = float(stats["dur"] or 0.0)
         self._offset += dur
         return WaveSummary(wave, fetched, candidates, out_count, dur)
@@ -381,7 +429,16 @@ class WaveRunner:
         completed waves; partial writes of wave k+1 are rolled back and
         wave k+1 recomputes from its committed inputs (idempotent)."""
         done = self.io.committed_waves("lineage")
-        next_wave = (done[-1] + 1) if done else 0
+        # resume from the longest CONTIGUOUS committed prefix, not the
+        # max committed wave: a non-tail hole (e.g. a manually damaged
+        # wave dir) means every wave past the hole was derived from
+        # state that no longer exists — recompute from the hole.
+        next_wave = 0
+        for w in done:
+            if w == next_wave:
+                next_wave += 1
+            else:
+                break
         for t in ("seen", "frontier"):
             self.io.drop_waves_after(t, next_wave)
         for t in ("visited", "fetch_batches", "edges", "lineage", "robots_blocked"):

@@ -17,10 +17,12 @@ def site():
     return synth_site(n_domains=2, n_products=20, page_size=8, seed=42)
 
 
-def run_engine(spark, site, config, tmpdir, use_bloom=False, max_waves=None):
+def run_engine(spark, site, config, tmpdir, use_bloom=False, max_waves=None,
+               bloom_mode="broadcast"):
     io = TableIO(spark, str(tmpdir))
     runner = WaveRunner(
-        spark, config, site_df(spark, site), io, use_bloom=use_bloom
+        spark, config, site_df(spark, site), io, use_bloom=use_bloom,
+        bloom_mode=bloom_mode,
     )
     result = runner.run(max_waves=max_waves)
     return io, result
@@ -92,10 +94,12 @@ def test_crawl_with_politeness_budget(spark, site, tmp_path):
             assert b - a == pytest.approx(config.wait_time)
 
 
-def test_bloom_path_identical(spark, site, tmp_path):
+@pytest.mark.parametrize("bloom_mode", ["broadcast", "table"])
+def test_bloom_path_identical(spark, site, tmp_path, bloom_mode):
     config = CrawlConfig(start_urls=["http://sitea.test/"], ignore_images=True)
     io_a, _ = run_engine(spark, site, config, tmp_path / "plain")
-    io_b, _ = run_engine(spark, site, config, tmp_path / "bloom", use_bloom=True)
+    io_b, _ = run_engine(spark, site, config, tmp_path / "bloom",
+                         use_bloom=True, bloom_mode=bloom_mode)
     for t in ("fetch_batches", "visited"):
         a = {tuple(r) for r in io_a.read(t).select("wave", "url").collect()}
         b = {tuple(r) for r in io_b.read(t).select("wave", "url").collect()}
@@ -132,6 +136,31 @@ def test_resume_mid_crawl(spark, site, tmp_path):
         .select("wave", "rank_in_wave", "url").orderBy("wave", "rank_in_wave").collect()
     ]
     assert full_order == res_order
+
+
+def test_resume_recomputes_from_non_tail_hole(spark, site, tmp_path):
+    """A damaged NON-TAIL wave (committed marker gone mid-lineage) must
+    roll the resume back to the hole, not to the max committed wave —
+    waves past the hole were derived from state that no longer exists."""
+    import shutil
+
+    config = CrawlConfig(start_urls=["http://sitea.test/"], ignore_images=True)
+    io = TableIO(spark, str(tmp_path / "holed"))
+    runner = WaveRunner(spark, config, site_df(spark, site), io)
+    partial = runner.run(max_waves=3)
+    assert len(partial.waves) == 3
+    # damage wave 1's commit marker AND its data: lineage committed for
+    # waves {0, 2} only; resuming from max-committed (the old bug)
+    # would leave the fetch_batches hole in place forever
+    shutil.rmtree(tmp_path / "holed" / "lineage" / "wave=1")
+    shutil.rmtree(tmp_path / "holed" / "fetch_batches" / "wave=1")
+    assert io.committed_waves("lineage") == [0, 2]
+
+    runner2 = WaveRunner(spark, config, site_df(spark, site), io)
+    runner2.resume()
+
+    state = oracle.crawl(site, config)
+    assert_parity(io, state)
 
 
 def test_multi_domain_seed_crawls_last_seed_domain(spark, tmp_path):

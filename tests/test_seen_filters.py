@@ -62,6 +62,97 @@ def test_bloom_no_false_negatives(spark, config):
     assert fp < 0.05, fp
 
 
+def test_bloom_table_probe_matches_broadcast(spark, config):
+    """The table-backed bucket-cogroup probe must produce the exact
+    might_seen vector of the broadcast probe — same blooms, same
+    hashes, only the data movement differs."""
+    urls = [f"http://sitea.test/p-{i}" for i in range(400)]
+    seen_df = spark.createDataFrame([(u,) for u in urls], "url string")
+    cand = spark.createDataFrame(
+        [(u, i) for i, u in enumerate(
+            urls[:200] + [f"http://sitea.test/new-{i}" for i in range(200)]
+        )],
+        "url string, tag int",
+    )
+    sidecar_list = seen_ops.build_bloom_sidecar(seen_df, config)
+    sidecar_df = seen_ops.build_bloom_sidecar_table(seen_df, config)
+    a = {
+        (r["url"], r["tag"]): r["might_seen"]
+        for r in seen_ops.probe_bloom(cand, sidecar_list, config).collect()
+    }
+    b = {
+        (r["url"], r["tag"]): r["might_seen"]
+        for r in seen_ops.probe_bloom_table(cand, sidecar_df, config).collect()
+    }
+    assert a == b
+    # and still no false negatives through the table path
+    for i, u in enumerate(urls[:200]):
+        assert b[(u, i)] is True, u
+
+
+def test_bloom_table_probe_collects_nothing(spark, config):
+    """Scale contract: the table path's plan must not contain a
+    broadcast of the sidecar bits (they flow through the cogroup
+    shuffle, pruned per bucket)."""
+    seen_df = spark.createDataFrame(
+        [(f"http://sitea.test/p-{i}",) for i in range(50)], "url string"
+    )
+    cand = spark.createDataFrame([("http://sitea.test/p-1",)], "url string")
+    sidecar_df = seen_ops.build_bloom_sidecar_table(seen_df, config)
+    plan = seen_ops.probe_bloom_table(cand, sidecar_df, config)._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "Broadcast" not in plan
+
+
+def test_compact_sidecars_preserves_membership(spark, config):
+    """Same-(m,k) OR compaction: no false negatives can appear (OR only
+    adds bits), false positives stay bounded, and the entry count
+    collapses to one per (bucket, m, k)."""
+    waves = [
+        spark.createDataFrame(
+            [(f"http://sitea.test/w{w}-{i}",) for i in range(100)], "url string"
+        )
+        for w in range(4)
+    ]
+    sidecar = []
+    for wdf in waves:
+        sidecar = seen_ops.merge_sidecars(
+            sidecar, seen_ops.build_bloom_sidecar(wdf, config)
+        )
+    compacted = seen_ops.compact_sidecars(sidecar)
+    shapes = {(r["domain_bucket"], r["m"], r["k"]) for r in compacted}
+    assert len(compacted) == len(shapes)  # one entry per shape
+    assert len(compacted) < len(sidecar)
+    cand = spark.createDataFrame(
+        [(f"http://sitea.test/w{w}-{i}",) for w in range(4) for i in range(100)]
+        + [(f"http://sitea.test/other-{i}",) for i in range(100)],
+        "url string",
+    )
+    before = {
+        r["url"]: r["might_seen"]
+        for r in seen_ops.probe_bloom(cand, sidecar, config).collect()
+    }
+    after = {
+        r["url"]: r["might_seen"]
+        for r in seen_ops.probe_bloom(cand, compacted, config).collect()
+    }
+    for u, hit in before.items():
+        if hit:  # a seen (or FP) key can never flip to definitely-new
+            assert after[u] is True, u
+    fp = sum(after[f"http://sitea.test/other-{i}"] for i in range(100)) / 100
+    assert fp < 0.10, fp
+    # table-path compaction agrees
+    sidecar_df = spark.createDataFrame(sidecar, schema=seen_ops._SIDECAR_SCHEMA)
+    tbl = {
+        (r["domain_bucket"], r["m"], r["k"]): bytes(r["bits"])
+        for r in seen_ops.compact_sidecar_table(sidecar_df).collect()
+    }
+    lst = {
+        (r["domain_bucket"], r["m"], r["k"]): bytes(r["bits"]) for r in compacted
+    }
+    assert tbl == lst
+
+
 def test_cuckoo_sidecar_probe_and_expire(spark, config):
     urls = [f"http://sitea.test/p-{i}" for i in range(300)]
     seen_df = spark.createDataFrame([(u,) for u in urls], "url string")
