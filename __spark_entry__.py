@@ -374,10 +374,15 @@ def q_docs_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_docs_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard with the hot-shingle cap exercised: tokens
+    in >250 docs (stopwords at sf0.01's 500 docs) are dropped from the
+    shingle universe — the cap that keeps the self-join from going
+    quadratic on boilerplate at 100 TB."""
     from kryptone_spark.operators import dedup
 
     return dedup.ngram_jaccard_pairs(
-        _load(spark, sf_dir, "documents"), n=1, min_jaccard=0.9
+        _load(spark, sf_dir, "documents"), n=1, min_jaccard=0.9,
+        max_shingle_df=250,
     )
 
 
@@ -584,11 +589,27 @@ def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simsearch.near_dup_pairs(emb, min_sim=0.30, block_col="label")
 
 
+def _index_dir(sf_dir: str, kind: str) -> str:
+    """Deterministic per-SF scratch dir for materialized ANN indexes —
+    the contract queries exercise the ingest-time path end-to-end
+    (build partitioned index, probe with partition pruning)."""
+    import hashlib
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    return str(
+        __import__("pathlib").Path(tempfile.gettempdir())
+        / f"kryptone_ann_{tag}" / kind
+    )
+
+
 def q_emb_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH ANN (the scale path for emb_cosine_topk): bucket
-    join prunes candidates before exact cosine re-scoring. The
-    md5-derived hyperplanes are engine-portable, so the DuckDB oracle
-    (_lsh_oracle) re-derives buckets AND scores independently."""
+    """Hyperplane-LSH ANN (the scale path for emb_cosine_topk), through
+    the INGEST-TIME index: the table is materialized partitioned on its
+    hyperplane bucket, and the probe scans only the queried buckets
+    (partition pruning) before exact cosine re-scoring. The md5-derived
+    hyperplanes are engine-portable, so the DuckDB oracle (_lsh_oracle)
+    re-derives buckets AND scores independently."""
     from kryptone_spark.operators import simsearch
 
     emb = _load(spark, sf_dir, "embeddings").withColumn(
@@ -597,7 +618,9 @@ def q_emb_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where("vec_id < 3").select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return simsearch.lsh_topk(emb, queries, k=5, n_planes=4)
+    path = _index_dir(sf_dir, "lsh")
+    simsearch.materialize_lsh_index(emb, path, n_planes=4)
+    return simsearch.lsh_topk_indexed(spark, path, queries, k=5, n_planes=4)
 
 
 def _lsh_oracle() -> str:
@@ -685,7 +708,9 @@ def q_emb_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     cents = simsearch.train_ivf_centroids(emb, n_cells=4, seed=42, max_iter=5)
-    return simsearch.ivf_topk(emb, queries, cents, k=4, n_probe=4)
+    path = _index_dir(sf_dir, "ivf")
+    simsearch.materialize_ivf_index(emb, path, cents)
+    return simsearch.ivf_topk_indexed(spark, path, queries, cents, k=4, n_probe=4)
 
 
 def q_crawl_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1226,10 +1251,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_jaccard": f"""
             WITH {TOKS_CTE.strip()},
-            sizes AS (SELECT doc_id, count(*) AS ng FROM toks GROUP BY doc_id),
+            keep AS (SELECT tok FROM toks GROUP BY tok HAVING count(*) <= 250),
+            ctoks AS (SELECT t.doc_id, t.tok FROM toks t JOIN keep k ON t.tok = k.tok),
+            sizes AS (SELECT doc_id, count(*) AS ng FROM ctoks GROUP BY doc_id),
             inter AS (
               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-              FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+              FROM ctoks a JOIN ctoks b ON a.tok = b.tok AND a.doc_id < b.doc_id
               GROUP BY doc_a, doc_b)
             SELECT doc_a, doc_b,
                    round(c / (sa.ng + sb.ng - c), 6) AS jaccard

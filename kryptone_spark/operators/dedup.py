@@ -117,13 +117,25 @@ def minhash_lsh_pairs(
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, text_col: str = "text", n: int = 2, min_jaccard: float = 0.3
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    min_jaccard: float = 0.3,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard over word n-grams via the common-shingle join:
     |A∩B| from a self-join on shingle, |A|,|B| from per-doc counts.
-    Scale: the shingle self-join is the classic quadratic risk —
-    bounded by dropping ultra-frequent shingles (df > threshold would
-    be added at 100 TB) and by LSH prefiltering (minhash_lsh_pairs)."""
+
+    Scale: the shingle self-join is the classic quadratic risk — a
+    shingle appearing in d docs contributes d^2 join rows, so ONE
+    boilerplate shingle ('all rights' in half the web) melts the
+    stage. ``max_shingle_df`` drops shingles whose document frequency
+    exceeds the cap from the whole universe (both the intersection AND
+    the per-doc sizes, so the result is exact Jaccard over the reduced
+    shingle set — the same treatment minhash_lsh_pairs gives hot
+    buckets via max_bucket_size: template noise carries no
+    near-duplication signal). At 100 TB this cap is mandatory; LSH
+    prefiltering (minhash_lsh_pairs) bounds the candidate set further."""
     toks = normalized_tokens(df, text_col).groupBy("doc_id").agg(
         F.array_sort(F.collect_list("tok")).alias("toks")
     )
@@ -147,6 +159,14 @@ def ngram_jaccard_pairs(
         .where(F.length("gram") > 0)
         .distinct()
     )
+    if max_shingle_df is not None:
+        keep = (
+            grams.groupBy("gram")
+            .agg(F.count("*").alias("__df"))
+            .where(F.col("__df") <= max_shingle_df)
+            .drop("__df")
+        )
+        grams = grams.join(keep, "gram", "left_semi")
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
     a, b = grams.alias("a"), grams.alias("b")
     inter = (

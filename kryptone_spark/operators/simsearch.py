@@ -5,6 +5,12 @@ query vectors, zip_with dot products JVM-side); the LSH-bucketed
 variant is the 100 TB path — random-hyperplane signatures shrink the
 candidate set before exact scoring, so the full N×Q cross product never
 materializes.
+
+Ingest-time indexes: ``materialize_lsh_index`` / ``materialize_ivf_index``
+write the table partitioned by bucket/cell ONCE; the ``*_indexed``
+variants read it back and probe with a broadcast join on the partition
+column, so dynamic partition pruning limits the scan to the probed
+buckets — queries never recompute signatures over the full table.
 """
 
 from __future__ import annotations
@@ -98,6 +104,22 @@ def hyperplane_signature(vec, n_planes: int = 16, dim: int = 64) -> F.Column:
     return out
 
 
+def _bucket_probe_topk(
+    emb_s: DataFrame, q_s: DataFrame, key: str, k: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """Shared probe tail for every bucketed strategy (query-time or
+    indexed): broadcast the (query, bucket) side, equi-join on the
+    bucket key — when emb_s comes from a table partitioned on the key,
+    dynamic partition pruning drops unprobed partitions from the scan —
+    then exact-cosine re-score and rank."""
+    cand = emb_s.join(F.broadcast(q_s), key).select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        F.round(cosine(F.col(vec_col), F.col("q_vec")), 6).alias("sim"),
+    )
+    return _topk_by_sim(cand, k)
+
+
 def lsh_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -109,20 +131,57 @@ def lsh_topk(
 ) -> DataFrame:
     """Approximate top-k: candidates = vectors sharing the query's
     hyperplane bucket (plus Hamming-adjacent buckets would be the
-    recall knob); exact cosine re-scores candidates only. At 100 TB the
-    signature is precomputed+bucket-partitioned at ingest, so a query
-    touches ~N/2^planes rows instead of N."""
+    recall knob); exact cosine re-scores candidates only. Signatures
+    are computed at query time over the full table — fine for one-off
+    scans; repeated querying at scale wants materialize_lsh_index +
+    lsh_topk_indexed."""
     sig = hyperplane_signature(F.col(vec_col), n_planes, dim)
     emb_s = embeddings.withColumn("bucket", sig)
     q_s = queries.select(
         "query_id", F.col(vec_col).alias("q_vec")
     ).withColumn("bucket", hyperplane_signature(F.col("q_vec"), n_planes, dim))
-    cand = emb_s.join(F.broadcast(q_s), "bucket").select(
-        "query_id",
-        F.col(id_col).alias("neighbor_id"),
-        F.round(cosine(F.col(vec_col), F.col("q_vec")), 6).alias("sim"),
+    return _bucket_probe_topk(emb_s, q_s, "bucket", k, id_col, vec_col)
+
+
+def materialize_lsh_index(
+    embeddings: DataFrame,
+    path: str,
+    n_planes: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+) -> None:
+    """Ingest-time LSH index: write the embedding table WITH its
+    hyperplane bucket, hive-partitioned on the bucket. One full pass at
+    build time; every subsequent lsh_topk_indexed probe scans only the
+    probed buckets (~N/2^planes rows per query) via partition pruning.
+    Rebuild = re-run (overwrite) after bulk ingest; deterministic
+    hyperplanes mean a rebuild never changes existing buckets."""
+    emb_s = embeddings.withColumn(
+        "bucket", hyperplane_signature(F.col(vec_col), n_planes, dim)
     )
-    return _topk_by_sim(cand, k)
+    emb_s.write.partitionBy("bucket").mode("overwrite").parquet(path)
+
+
+def lsh_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a materialized LSH index: identical results to lsh_topk
+    (tests pin equality) but the scan reads only the partitions whose
+    bucket matches a query signature — no full-table signature
+    recompute. n_planes/dim must match the build (the signature of the
+    QUERY vector is still computed here, O(|queries|))."""
+    emb_s = spark.read.parquet(path)
+    q_s = queries.select(
+        "query_id", F.col(vec_col).alias("q_vec")
+    ).withColumn("bucket", hyperplane_signature(F.col("q_vec"), n_planes, dim))
+    return _bucket_probe_topk(emb_s, q_s, "bucket", k, id_col, vec_col)
 
 
 def train_ivf_centroids(
@@ -202,12 +261,46 @@ def ivf_topk(
             "__cell", F.explode(_probe_cells(F.col("q_vec"), centroids, n_probe))
         )
     )
-    cand = emb_c.join(F.broadcast(q), "__cell").select(
-        "query_id",
-        F.col(id_col).alias("neighbor_id"),
-        F.round(cosine(F.col(vec_col), F.col("q_vec")), 6).alias("sim"),
+    return _bucket_probe_topk(emb_c, q, "__cell", k, id_col, vec_col)
+
+
+def materialize_ivf_index(
+    embeddings: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> None:
+    """Ingest-time IVF index: assign each vector its nearest-centroid
+    cell ONCE (codegen argmin over plan-time literal centroids) and
+    write hive-partitioned on the cell. A probe then scans
+    n_probe/n_cells of the data via partition pruning. The centroids
+    used at build time must be passed to ivf_topk_indexed — persist
+    them next to the index (they are a few KB of floats)."""
+    emb_c = embeddings.withColumn("__cell", ivf_cell(F.col(vec_col), centroids))
+    emb_c.write.partitionBy("__cell").mode("overwrite").parquet(path)
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a materialized IVF index: identical results to ivf_topk
+    for the same centroids (tests pin equality); the scan prunes to the
+    probed cells' partitions."""
+    emb_c = spark.read.parquet(path)
+    q = (
+        queries.select(F.col("query_id"), F.col(vec_col).alias("q_vec"))
+        .withColumn(
+            "__cell", F.explode(_probe_cells(F.col("q_vec"), centroids, n_probe))
+        )
     )
-    return _topk_by_sim(cand, k)
+    return _bucket_probe_topk(emb_c, q, "__cell", k, id_col, vec_col)
 
 
 def near_dup_pairs(

@@ -62,6 +62,36 @@ def test_ngram_jaccard(corpus):
     assert (0, 3) not in pairs
 
 
+def test_ngram_jaccard_shingle_df_cap(spark):
+    """Boilerplate-heavy fixture: every doc shares a footer shingle; the
+    df-cap drops it from the universe, so only genuinely-similar pairs
+    survive and the footer never fans out the self-join."""
+    docs = [
+        (i, f"unique{i} body{i} " + "all rights reserved footer")
+        for i in range(20)
+    ] + [
+        (100, "alpha beta gamma delta all rights reserved footer"),
+        (101, "alpha beta gamma delta all rights reserved footer"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    uncapped = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.ngram_jaccard_pairs(df, n=2, min_jaccard=0.3).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            df, n=2, min_jaccard=0.3, max_shingle_df=5
+        ).collect()
+    }
+    # the footer shingles (df=22 > 5) are gone: the filler docs no
+    # longer pair with each other at all
+    assert all(a >= 100 for a, b in capped), capped
+    assert capped[(100, 101)] == 1.0
+    # and the cap only ever removes pairs, never invents them
+    assert set(capped) <= uncapped
+
+
 def test_simhash(corpus):
     rows = {r["doc_id"]: r["simhash"] for r in dedup.simhash64(corpus).collect()}
     assert rows[0] == rows[1] == rows[4]
@@ -227,6 +257,54 @@ def test_ivf_full_probe_equals_brute_force(spark, vectors):
         for r in simsearch.brute_force_topk(df, queries, k=4).collect()
     )
     assert got == want
+
+
+def test_indexed_ann_matches_query_time(spark, vectors, tmp_path):
+    """The materialized (ingest-time) LSH and IVF indexes must return
+    row-identical results to their query-time twins, and the indexed
+    scan must actually prune: only the probed bucket partitions are
+    read (PartitionFilters / pruned scan in the plan)."""
+    _, df = vectors
+    dfd = df.withColumn(
+        "embedding", F.expr("transform(embedding, x -> cast(x as double))")
+    )
+    queries = dfd.where("vec_id in (3, 11)").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    lsh_path = str(tmp_path / "lsh_idx")
+    simsearch.materialize_lsh_index(dfd, lsh_path, n_planes=4, dim=8)
+    got = sorted(
+        tuple(r) for r in simsearch.lsh_topk_indexed(
+            spark, lsh_path, queries, k=3, n_planes=4, dim=8
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in simsearch.lsh_topk(dfd, queries, k=3, n_planes=4, dim=8).collect()
+    )
+    assert got == want and got
+
+    cents = simsearch.train_ivf_centroids(dfd, n_cells=4, seed=42)
+    ivf_path = str(tmp_path / "ivf_idx")
+    simsearch.materialize_ivf_index(dfd, ivf_path, cents)
+    got_i = sorted(
+        tuple(r) for r in simsearch.ivf_topk_indexed(
+            spark, ivf_path, queries, cents, k=4, n_probe=2
+        ).collect()
+    )
+    want_i = sorted(
+        tuple(r)
+        for r in simsearch.ivf_topk(dfd, queries, cents, k=4, n_probe=2).collect()
+    )
+    assert got_i == want_i and got_i
+
+    # pruning contract: the indexed plan carries a partition filter on
+    # the bucket/cell key (dynamic pruning from the broadcast probe)
+    plan = simsearch.ivf_topk_indexed(
+        spark, ivf_path, queries, cents, k=4, n_probe=2
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower() or "PartitionFilters: [" in plan
 
 
 def test_ivf_partial_probe_recall_and_pruning(spark, vectors):
