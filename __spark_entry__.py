@@ -7,8 +7,8 @@ equivalents; every hash-sensitive column is aliased identically and
 floats are computed with the same fold order / rounding in both
 engines. The flagship crawl wave loop is value-verified against an
 independent recursive-CTE BFS oracle; only genuinely engine-specific
-ops (mapInPandas multimodal plumbing, HLL sketch, hyperplane-LSH
-bucketing) omit the oracle → rows-only.
+ops (mapInPandas multimodal plumbing, the HLL sketch) omit the oracle
+→ rows-only.
 """
 
 from __future__ import annotations
@@ -71,6 +71,14 @@ urls AS (
   FROM orders
 )
 """
+
+# porter-lite stemmer steps, kept in the operator module next to the
+# Spark expression so the two rule lists cannot drift
+from kryptone_spark.operators.seo import (  # noqa: E402
+    PORTER_LITE_SQL as _SEO_STEP_C,
+    PORTER_LITE_STEP_A_SQL as _SEO_STEP_A,
+    PORTER_LITE_STEP_B_SQL as _SEO_STEP_B,
+)
 
 # shared tokenizer CTE for the text/dedup oracles (mirrors
 # kryptone_spark.operators.dedup.normalized_tokens)
@@ -536,6 +544,57 @@ def q_doc_spans_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_seo_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEO page-audit flags (contrib/seo.py:431-529) over deterministic
+    interleaved pages synthesized from the documents table: head title
+    with varying lengths (missing every 5th page), h1 with messy
+    whitespace (missing every 3rd), meta description straddling the
+    150-char budget, one alt-less image on even pages, JSON-LD every
+    4th page. The audit itself is operators/seo.audit_pages — a single
+    spans projection."""
+    from kryptone_spark.operators import seo
+
+    d = _load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    ds = did.cast("string")
+    mk = lambda kind, text, ref, off: F.struct(
+        F.lit(kind).alias("kind"), text.alias("text"),
+        ref.alias("media_ref"), F.lit(off).cast("int").alias("offset"),
+    )
+    title = F.when(
+        did % 5 != 0, F.expr("substr(text, 1, 30 + (doc_id % 3) * 20)")
+    ).otherwise(F.lit(""))
+    desc = F.expr("substr(text, 1, 100 + (doc_id % 4) * 20)")
+    base = [
+        mk("title", title, F.lit(""), 0),
+        mk("description", desc, F.lit(""), 1),
+        mk("image", F.when(did % 2 == 0, F.lit("")).otherwise(F.concat(F.lit("alt-"), ds)),
+           F.concat(F.lit("https://img.test/a-"), ds, F.lit(".jpg")), 2),
+        mk("image", F.lit("logo"), F.lit("https://img.test/logo.png"), 3),
+    ]
+    h1 = mk("h1", F.concat(F.lit("  Doc   "), ds, F.lit("  ")), F.lit(""), 4)
+    ld = mk("ldjson", F.lit('{"@type": "Article"}'), F.lit(""), 5)
+    spans = F.array(*base)
+    spans = F.when(
+        (did % 3 != 0) & (did % 4 == 0), F.concat(F.array(*base), F.array(h1, ld))
+    ).when(did % 3 != 0, F.concat(F.array(*base), F.array(h1))).when(
+        did % 4 == 0, F.concat(F.array(*base), F.array(ld))
+    ).otherwise(F.array(*base))
+    docs = d.select("doc_id", spans.alias("spans"))
+    return seo.audit_pages(docs)
+
+
+def q_docs_stemmed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stemmed word frequency (seo.py:407-429 create_stemmed_words +
+    calculate_word_frequency): porter-lite stem inside codegen, top-20
+    via TakeOrderedAndProject."""
+    from kryptone_spark.operators import seo
+
+    return seo.stemmed_word_frequency(
+        _load(spark, sf_dir, "documents"), top_k=20
+    ).withColumnRenamed("rank", "rnk")
+
+
 def q_product_models(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scraped-item model shape (contrib/models.py:59-121 Product):
     typed StructType row with array fields, derived complex_name
@@ -944,6 +1003,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_label_norms": q_emb_label_norms,
         "doc_spans_extract": q_doc_spans_extract,
+        "seo_audit": q_seo_audit,
+        "docs_stemmed_topk": q_docs_stemmed_topk,
         "product_models": q_product_models,
         "emb_near_dup": q_emb_near_dup,
         "emb_lsh_ann": q_emb_lsh_ann,
@@ -1411,6 +1472,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT label, count(*) AS n,
                    round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS avg_norm
             FROM embeddings GROUP BY label
+        """,
+        "seo_audit": """
+            WITH s AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 <> 0
+                          THEN substr(text, 1, (30 + (doc_id % 3) * 20)::INTEGER)
+                          ELSE '' END AS title,
+                     substr(text, 1, (100 + (doc_id % 4) * 20)::INTEGER) AS descr
+              FROM documents)
+            SELECT doc_id,
+                   title <> '' AS has_title,
+                   length(title)::INTEGER AS title_length,
+                   length(title) <= 60 AS title_is_valid,
+                   (doc_id % 3 <> 0) AS has_h1,
+                   CASE WHEN doc_id % 3 <> 0 THEN 'Doc ' || doc_id END AS h1,
+                   length(descr)::INTEGER AS description_length,
+                   length(descr) <= 150 AS description_is_valid,
+                   CASE WHEN doc_id % 2 = 0 THEN 50.0 ELSE 0.0 END AS pct_images_with_no_alt,
+                   CASE WHEN doc_id % 2 = 0 THEN '|logo'
+                        ELSE 'alt-' || doc_id || '|logo' END AS image_alts,
+                   (doc_id % 4 = 0) AS has_structured_data,
+                   CASE WHEN doc_id % 4 = 0 THEN 'Article' END AS structured_data_type
+            FROM s
+        """,
+        "docs_stemmed_topk": f"""
+            WITH t AS (
+              SELECT unnest(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +')) AS w
+              FROM documents),
+            t1 AS (SELECT w FROM t WHERE w <> ''),
+            a AS (SELECT ({_SEO_STEP_A}) AS sa FROM t1),
+            b AS (SELECT ({_SEO_STEP_B}) AS sb FROM a),
+            s AS (SELECT ({_SEO_STEP_C}) AS stem FROM b),
+            c AS (SELECT stem, count(*) AS freq FROM s GROUP BY stem)
+            SELECT stem, freq,
+                   row_number() OVER (ORDER BY freq DESC, stem)::INTEGER AS rnk
+            FROM c QUALIFY rnk <= 20
         """,
         "product_models": """
             SELECT p_partkey AS product_id,

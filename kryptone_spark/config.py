@@ -27,6 +27,26 @@ DEFAULT_IMAGE_EXTENSIONS: tuple[str, ...] = (
     ".webp", ".wmf", ".xbm", ".xpm",
 )
 
+import functools
+import pathlib
+
+
+@functools.lru_cache(maxsize=1)
+def load_default_file_extensions() -> tuple[str, ...]:
+    """The default file-extension list for F8 ``is_file`` — the data
+    fixture the reference ships at kryptone/data/file_extensions.txt
+    and loads in utils/urls.py:152-155 (itself a public
+    web-file-extension inventory). Shipped verbatim as package data so
+    ``is_file`` has the same default universe; entries are dot-prefixed
+    and matched against the pathlib-style LAST suffix (so multi-dot
+    entries like '.pgsql.txt' can never match — identical dead-entry
+    behaviour to the reference's ``as_path.suffix in list``)."""
+    p = pathlib.Path(__file__).parent / "data" / "file_extensions.txt"
+    return tuple(
+        line.strip() for line in p.read_text().splitlines() if line.strip()
+    )
+
+
 # Tracking params stripped by the engine's *full* canonicalization mode
 # (north-rule capability; the reference never strips queries — its
 # `ignore_queries` Meta option is declared but dead,

@@ -43,6 +43,18 @@ def global_row_number(
     """
     if num_partitions is None:
         num_partitions = df.sparkSession.sparkContext.defaultParallelism
+    if num_partitions == 1:
+        # degenerate-but-useful case (ranked_top_k's ≤ k rows): one
+        # range partition needs no offsets collect and no checkpoint;
+        # __pid is a real column, so the window never degenerates to
+        # the warned empty-partition-spec form
+        ranged = df.repartitionByRange(1, *order_by).withColumn(
+            "__pid", F.spark_partition_id()
+        )
+        w = Window.partitionBy("__pid").orderBy(*order_by)
+        return ranged.withColumn(
+            out_col, F.row_number().over(w) + F.lit(start - 1)
+        ).drop("__pid")
     ranged = (
         df.repartitionByRange(num_partitions, *order_by)
         .withColumn("__pid", F.spark_partition_id())
@@ -79,9 +91,13 @@ def ranked_top_k(
 
     ``orderBy().limit(k)`` compiles to TakeOrderedAndProject — a
     per-partition heap + driver merge of k rows, no full sort, no
-    single-partition shuffle. The rank window then runs over ≤ k rows;
-    a constant partition key keeps Spark's planner off the
-    all-to-one-partition path (and silences its warning)."""
+    single-partition shuffle. The rank then comes from
+    ``global_row_number`` over the ≤ k surviving rows (num_partitions=1
+    is exact and trivially cheap at that size): its partition spec is a
+    real column, so the plan never degenerates to the warned
+    "No Partition Defined" global window. (The earlier
+    ``partitionBy(lit(1))`` was constant-folded to exactly that empty
+    spec — harmless on ≤ k rows but indistinguishable in the plan from
+    a genuine global-window violation.)"""
     top = df.orderBy(*order_by).limit(k)
-    w = Window.partitionBy(F.lit(1)).orderBy(*order_by)
-    return top.withColumn(out_col, F.row_number().over(w))
+    return global_row_number(top, order_by, out_col=out_col, num_partitions=1)

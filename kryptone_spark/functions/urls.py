@@ -153,8 +153,14 @@ def is_image(url: Column, image_extensions: tuple[str, ...]) -> Column:
     return suffix.isin(*image_extensions) if image_extensions else F.lit(False)
 
 
-def is_file(url: Column, file_extensions: tuple[str, ...]) -> Column:
-    """urls.py:248-259 — same suffix logic vs the file-extension list."""
+def is_file(url: Column, file_extensions: tuple[str, ...] | None = None) -> Column:
+    """urls.py:248-259 — same suffix logic vs the file-extension list;
+    None loads the reference's bundled default list (2447 entries —
+    Catalyst rewrites the isin to an InSet hash probe, O(1)/row)."""
+    if file_extensions is None:
+        from kryptone_spark.config import load_default_file_extensions
+
+        file_extensions = load_default_file_extensions()
     base = F.when(has_query(url), path(url)).otherwise(url)
     suffix = pathlib_suffix(url_decode_form(base))
     return suffix.isin(*file_extensions) if file_extensions else F.lit(False)

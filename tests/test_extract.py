@@ -118,3 +118,101 @@ def test_tf_idf_matches_formula(docs, site):
         tf = toks.count(r["term"]) / len(toks)
         idf = math.log(n_docs / (1 + df_counter[r["term"]]))
         assert r["tfidf"] == pytest.approx(round(tf * idf, 8), abs=1e-8)
+
+
+# ---------------------------------------------------------------------------
+# SEO audit + stemming (operators/seo.py — contrib/seo.py:407-529)
+# ---------------------------------------------------------------------------
+
+def _span(kind, text, ref="", off=0):
+    return {"kind": kind, "text": text, "media_ref": ref, "offset": off}
+
+
+def test_seo_audit_flags(spark):
+    from kryptone_spark.operators import seo
+
+    rows = [
+        {  # fully healthy page
+            "doc_id": "p1",
+            "spans": [
+                _span("title", "Short title"),
+                _span("h1", "  Main   Heading  ", off=1),
+                _span("description", "d" * 100, off=2),
+                _span("image", "an alt", "img1.jpg", 3),
+                _span("image", "logo", "logo.png", 4),
+                _span("ldjson", '{"@type": "Product"}', off=5),
+            ],
+        },
+        {  # empty title, no h1, overlong title/desc, alt-less images
+            "doc_id": "p2",
+            "spans": [
+                _span("title", "t" * 70),
+                _span("description", "d" * 200, off=1),
+                _span("image", "", "a.jpg", 2),
+                _span("image", "", "b.jpg", 3),
+                _span("image", "x", "c.jpg", 4),
+            ],
+        },
+        {"doc_id": "p3", "spans": [_span("text", "no audit targets")]},
+    ]
+    schema = (
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>"
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in seo.audit_pages(spark.createDataFrame(rows, schema)).collect()
+    }
+    p1, p2, p3 = out["p1"], out["p2"], out["p3"]
+    assert p1["has_title"] and p1["title_is_valid"] and p1["title_length"] == 11
+    assert p1["has_h1"] and p1["h1"] == "Main Heading"
+    assert p1["description_is_valid"] and p1["description_length"] == 100
+    assert p1["pct_images_with_no_alt"] == 0.0
+    assert p1["image_alts"] == "an alt|logo"
+    assert p1["has_structured_data"] and p1["structured_data_type"] == "Product"
+
+    assert p2["has_title"] and not p2["title_is_valid"]  # 70 > 60
+    assert not p2["has_h1"] and p2["h1"] is None
+    assert not p2["description_is_valid"]  # 200 > 150
+    assert p2["pct_images_with_no_alt"] == pytest.approx(66.67)
+    assert p2["image_alts"] == "|x"
+    assert not p2["has_structured_data"]
+
+    assert not p3["has_title"] and p3["title_length"] is None
+    assert p3["pct_images_with_no_alt"] == 0.0 and p3["image_alts"] == ""
+
+
+def test_porter_lite_stem_rules(spark):
+    from kryptone_spark.operators import seo
+
+    cases = {
+        # step A
+        "caresses": "caress", "ponies": "poni", "caress": "caress",
+        "cats": "cat", "is": "is", "as": "as",
+        # step B (vowel-in-stem + length guards)
+        "hopping": "hopp", "sing": "sing", "walked": "walk", "red": "red",
+        # step C
+        "quickly": "quick", "fly": "fly", "only": "only",  # len 4 < 5 guard
+        # chained: plurals then verbal
+        "meetings": "meet",
+    }
+    df = spark.createDataFrame([(w,) for w in cases], "w string")
+    got = {
+        r["w"]: r["s"]
+        for r in df.select("w", seo.porter_lite_stem(F.col("w")).alias("s")).collect()
+    }
+    assert got == cases
+
+
+def test_stemmed_word_frequency_folds_variants(spark):
+    from kryptone_spark.operators import seo
+
+    df = spark.createDataFrame(
+        [(0, "walk walked walking walks"), (1, "cat cats CATS!")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["stem"]: r["freq"]
+        for r in seo.stemmed_word_frequency(df, top_k=5).collect()
+    }
+    assert got == {"walk": 4, "cat": 3}

@@ -213,3 +213,45 @@ def test_query_map(spark):
     }
     for u, expected in cases:
         assert got[u] == expected, (u, got[u])
+
+
+def test_default_file_extension_list_parity():
+    """F8: the bundled data list must match the reference's
+    data/file_extensions.txt entry-for-entry (data fixture parity)."""
+    from kryptone_spark.config import load_default_file_extensions
+
+    exts = load_default_file_extensions()
+    assert len(exts) == 2447
+    assert all(e.startswith(".") for e in exts)
+    assert ".pdf" in exts and ".html" in exts and ".zip" in exts
+    ref = pathlib.Path("/root/reference/kryptone/data/file_extensions.txt")
+    if ref.exists():
+        want = tuple(
+            ln.strip() for ln in ref.read_text().splitlines() if ln.strip()
+        )
+        assert exts == want
+
+
+def test_is_file_default_list(spark):
+    """is_file with the bundled default list: pathlib LAST-suffix
+    semantics (multi-dot entries are dead, same as the reference's
+    as_path.suffix membership), query-string stripping, no-suffix
+    and unknown-suffix URLs are not files."""
+    cases = [
+        ("https://a.test/report.pdf", True),
+        ("https://a.test/page.html", True),
+        ("https://a.test/archive.zip?dl=1", True),   # suffix from path
+        ("https://a.test/products", False),          # no suffix
+        ("https://a.test/file.qqqzzz", False),       # unknown suffix
+        # '.pgsql.txt' is in the list but pathlib suffix of
+        # 'dump.pgsql.txt' is '.txt' — which IS listed, so True via
+        # the single-suffix path (dead multi-dot entry, like the ref)
+        ("https://a.test/dump.pgsql.txt", True),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = {
+        r["url"]: r["f"]
+        for r in df.select("url", U.is_file(F.col("url")).alias("f")).collect()
+    }
+    for u, want in cases:
+        assert got[u] is want, u
