@@ -220,6 +220,8 @@ def probe_bloom_table(
     sidecar: DataFrame,
     config: CrawlConfig,
     url_col: str = "url",
+    pre_resolved: bool = False,
+    bucket_col: str | None = None,
 ) -> DataFrame:
     """Table-backed probe: candidates cogrouped with the sidecar on
     domain_bucket. Each task sees only its buckets' filter bits —
@@ -231,24 +233,39 @@ def probe_bloom_table(
 
     Identical ``might_seen`` semantics to probe_bloom (a key is
     maybe-seen if ANY of the bucket's blooms hits); tests pin
-    equality of the two paths."""
-    prep = candidates.select(
+    equality of the two paths.
+
+    Scale fast path: a frontier/candidate table stored the engine way
+    already carries resolved URLs and its ``domain_bucket`` partition
+    column — pass ``pre_resolved=True`` (skips the dot-segment fold)
+    and ``bucket_col="domain_bucket"`` (groups on the existing column,
+    so a candidate set already hash-partitioned on it cogroups with NO
+    exchange — the probe becomes a map-side pass over co-located
+    bucket slices)."""
+    if pre_resolved:
+        prep = candidates.withColumn("__resolved", F.col(url_col))
+    else:
+        prep = candidates.select(
+            "*",
+            U.resolve_relative(F.col(url_col), F.lit(_origin_lit(config))).alias(
+                "__resolved"
+            ),
+            # nondeterministic barrier: stops CollapseProject inlining
+            # the dot-segment fold into the three hash projections
+            # below (same pattern as probe_bloom / admission.admit)
+            F.monotonically_increasing_id().alias("__pb"),
+        )
+    bucket = (
+        F.col(bucket_col)
+        if bucket_col is not None
+        else U.domain_bucket(U.netloc(F.col("__resolved")), config.n_domain_buckets)
+    )
+    prep = prep.select(
         "*",
-        U.resolve_relative(F.col(url_col), F.lit(_origin_lit(config))).alias(
-            "__resolved"
-        ),
-        # nondeterministic barrier: stops CollapseProject inlining the
-        # dot-segment fold into the three hash projections below (same
-        # pattern as probe_bloom / admission.admit)
-        F.monotonically_increasing_id().alias("__pb"),
-    ).select(
-        "*",
-        U.domain_bucket(U.netloc(F.col("__resolved")), config.n_domain_buckets).alias(
-            "__bk"
-        ),
+        bucket.alias("__bk"),
         F.xxhash64(F.col("__resolved"), F.lit(1)).alias("__h1"),
         F.xxhash64(F.col("__resolved"), F.lit(2)).alias("__h2"),
-    ).drop("__resolved", "__pb")
+    ).drop("__resolved", *([] if pre_resolved else ["__pb"]))
 
     out_fields = list(prep.schema.fields) + [
         T.StructField("might_seen", T.BooleanType(), False)

@@ -289,7 +289,14 @@ class WaveRunner:
                 visited=visited.select("url") if visited is not None else None,
                 allow_home=allow_home,
             )
-        admitted = admitted.localCheckpoint(eager=False)
+        # admitted feeds FIVE consumers (seen/frontier/edges/lineage
+        # writes + next-wave state), and flush submits the writes from
+        # concurrent threads: a lazy checkpoint lets every thread race
+        # to compute the admission DAG independently (measured 2x wave
+        # wall time). Materialize it exactly once — the stats agg does
+        # it when collect_stats is on; otherwise the checkpoint itself
+        # must be eager.
+        admitted = admitted.localCheckpoint(eager=not self.collect_stats)
         if self.collect_stats:
             counts = admitted.agg(
                 F.count("*").alias("cand"),
@@ -303,11 +310,14 @@ class WaveRunner:
 
         # per-URL aggregation: any-valid wins (matches the oracle's
         # sorted per-page processing — home rule is src-dependent, all
-        # other predicates are per-URL deterministic)
+        # other predicates are per-URL deterministic). Eager checkpoint:
+        # the seen and frontier deltas both derive from it and are
+        # written by concurrent flush threads — lazy would run this
+        # shuffle twice.
         per_url = admitted.groupBy("url", "domain", "domain_bucket").agg(
             F.max(F.col("verdict") == "valid").alias("is_valid"),
             F.max(F.col("filtered")).alias("filtered"),
-        )
+        ).localCheckpoint(eager=True)
 
         seen_rows = per_url.select(
             "url", "domain_bucket",

@@ -90,6 +90,52 @@ def test_bloom_table_probe_matches_broadcast(spark, config):
         assert b[(u, i)] is True, u
 
 
+def test_bloom_table_fast_path_matches(spark, config):
+    """pre_resolved + bucket_col (the stored-frontier fast path) must
+    return the same might_seen vector as the self-computing table probe
+    — and its plan must not re-shuffle already-bucketed candidates."""
+    from kryptone_spark.functions import urls as U
+    from pyspark.sql import functions as F
+
+    urls = [f"http://sitea.test/p-{i}" for i in range(300)]
+    seen_df = spark.createDataFrame([(u,) for u in urls], "url string")
+    cand = spark.createDataFrame(
+        [(u,) for u in urls[:150] + [f"http://sitea.test/n-{i}" for i in range(150)]],
+        "url string",
+    )
+    sidecar_df = seen_ops.build_bloom_sidecar_table(seen_df, config)
+    slow = {
+        r["url"]: r["might_seen"]
+        for r in seen_ops.probe_bloom_table(cand, sidecar_df, config).collect()
+    }
+    # stored-frontier shape: bucket column present, hash-partitioned on
+    # it with the partitioning visible in the lineage (a bucketed-table
+    # scan reports its HashPartitioning the same way; localCheckpoint
+    # would LOSE it — LogicalRDD drops outputPartitioning)
+    cand_b = cand.withColumn(
+        "domain_bucket",
+        U.domain_bucket(U.netloc(F.col("url")), config.n_domain_buckets),
+    ).repartition(4, "domain_bucket")
+    sidecar_ck = sidecar_df.localCheckpoint()
+    fast_df = seen_ops.probe_bloom_table(
+        cand_b, sidecar_ck, config, pre_resolved=True, bucket_col="domain_bucket"
+    )
+    fast = {r["url"]: r["might_seen"] for r in fast_df.collect()}
+    assert slow == fast
+    # the probe itself must add no exchange on the (big) candidate
+    # side: grouping on the column the data is already partitioned by
+    # cogroups in place — the only planner-inserted (ENSURE_REQUIREMENTS)
+    # exchange is the tiny sidecar side's regroup. The candidates' own
+    # REPARTITION_BY_NUM is the storage layout, not probe overhead.
+    # collect() first so AQE finalizes; read the FINAL plan section only
+    # (toString appends the initial plan, which would double-count)
+    plan = (
+        fast_df._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert plan.count("ENSURE_REQUIREMENTS") == 1, plan
+
+
 def test_bloom_table_probe_collects_nothing(spark, config):
     """Scale contract: the table path's plan must not contain a
     broadcast of the sidecar bits (they flow through the cogroup

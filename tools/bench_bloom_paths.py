@@ -106,6 +106,34 @@ def main():
     n, cold, best = steady(run_table)
     out["bloom_table"] = {"rows": n, "cold_sec": cold, "sec": best}
 
+    # scale fast path: candidates stored the engine way (resolved URLs,
+    # domain_bucket column, hash-partitioned on it) — the cogroup needs
+    # no exchange and no per-row URL resolution
+    from kryptone_spark.functions import urls as U
+
+    cand_bucketed = (
+        cand.withColumn(
+            "domain_bucket",
+            U.domain_bucket(U.netloc(F.col("url")), config.n_domain_buckets),
+        )
+        .repartition(CPUS, "domain_bucket")
+        .localCheckpoint()
+    )
+
+    def run_table_fast():
+        probed = seen_ops.probe_bloom_table(
+            cand_bucketed, sidecar_df, config,
+            pre_resolved=True, bucket_col="domain_bucket",
+        )
+        maybe = probed.where(F.col("might_seen")).drop("might_seen")
+        fresh = probed.where(~F.col("might_seen")).drop("might_seen")
+        return (
+            maybe.join(seen_df, "url", "left_anti").unionByName(fresh).count()
+        )
+
+    n, cold, best = steady(run_table_fast)
+    out["bloom_table_coPartitioned"] = {"rows": n, "cold_sec": cold, "sec": best}
+
     spark.stop()
     print(json.dumps(out))
 
