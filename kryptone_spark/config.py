@@ -43,7 +43,9 @@ def load_default_file_extensions() -> tuple[str, ...]:
     behaviour to the reference's ``as_path.suffix in list``)."""
     p = pathlib.Path(__file__).parent / "data" / "file_extensions.txt"
     return tuple(
-        line.strip() for line in p.read_text().splitlines() if line.strip()
+        line.strip()
+        for line in p.read_text().splitlines()
+        if line.strip() and not line.startswith("#")
     )
 
 

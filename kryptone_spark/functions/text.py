@@ -39,16 +39,36 @@ def nfkd(s: pd.Series) -> pd.Series:
     return s.map(lambda x: unicodedata.normalize("NFKD", x) if x is not None else None)
 
 
+# Latin letters unidecode maps but NFKD cannot (they do not decompose
+# into base + combining mark) — the common European divergences; full
+# unidecode additionally transliterates non-Latin scripts (CJK→pinyin
+# etc.), which remains a documented divergence.
+_NON_DECOMPOSABLE = str.maketrans(
+    {
+        "ß": "ss", "ẞ": "SS", "æ": "ae", "Æ": "AE", "œ": "oe", "Œ": "OE",
+        "ø": "o", "Ø": "O", "đ": "d", "Đ": "D", "ð": "d", "Ð": "D",
+        "þ": "th", "Þ": "Th", "ł": "l", "Ł": "L", "ħ": "h", "Ħ": "H",
+        "ı": "i", "ĸ": "k", "ŋ": "ng", "Ŋ": "NG", "ŧ": "t", "Ŧ": "T",
+    }
+)
+
+
 @pandas_udf(StringType())
 def remove_accents(s: pd.Series) -> pd.Series:
-    """text.py:111-113 — transliterate to ASCII (unidecode-lite via
-    NFKD + combining-mark strip, which covers latin accents; the
-    reference uses unidecode, identical on the corpus's accent set)."""
+    """text.py:111-113 — transliterate to ASCII (unidecode-lite:
+    NFKD + combining-mark strip covers every composed Latin accent;
+    the table above covers the non-decomposable Latin letters —
+    together, unidecode-identical for European text. The reference
+    uses full unidecode, which additionally romanizes non-Latin
+    scripts; that remains a documented divergence)."""
     def _strip(x: str | None) -> str | None:
         if x is None:
             return None
+        folded = x.translate(_NON_DECOMPOSABLE)
         return "".join(
-            c for c in unicodedata.normalize("NFKD", x) if not unicodedata.combining(c)
+            c
+            for c in unicodedata.normalize("NFKD", folded)
+            if not unicodedata.combining(c)
         )
     return s.map(_strip)
 
