@@ -6,9 +6,10 @@ SURVEY.md §2 (+ the training-data ops). ``oracle_sql()`` — exact DuckDB
 equivalents; every hash-sensitive column is aliased identically and
 floats are computed with the same fold order / rounding in both
 engines. The flagship crawl wave loop is value-verified against an
-independent recursive-CTE BFS oracle; only genuinely engine-specific
-ops (mapInPandas multimodal plumbing, the HLL sketch) omit the oracle
-→ rows-only.
+independent recursive-CTE BFS oracle; only the genuinely
+engine-specific HLL sketch estimate omits the oracle → rows-only (the
+mapInPandas media decode is oracle-checked: its fake-codec wire format
+is deterministic, so the expected header fields are SQL-statable).
 """
 
 from __future__ import annotations
@@ -1549,6 +1550,28 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(list_dot_product(a.v, b.v)
                         / (sqrt(list_dot_product(a.v, a.v))
                            * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.30
+        """,
+        "media_decode": """
+            -- the fake-codec wire format is deterministic in the row
+            -- index, so the mapInPandas binary decode is fully
+            -- oracle-checkable: the oracle states the expected header
+            -- fields the Spark side must recover by struct-unpacking
+            -- the blobs (12-byte FAKEIMG! / 16-byte FAKEAUD! headers).
+            SELECT
+              CASE i % 3 WHEN 0 THEN 'img' || i
+                         WHEN 1 THEN 'aud' || i
+                         ELSE 'vid' || i END AS media_id,
+              CASE i % 3 WHEN 0 THEN 'image'
+                         WHEN 1 THEN 'audio'
+                         ELSE 'video' END AS kind,
+              (CASE WHEN i % 3 = 0 THEN 100 + i END)::INTEGER AS width,
+              (CASE WHEN i % 3 = 0 THEN 50 + i END)::INTEGER AS height,
+              (CASE WHEN i % 3 = 1 THEN 8000 + i END)::INTEGER AS sample_rate,
+              (CASE WHEN i % 3 = 1 THEN 1000 * i END)::INTEGER AS n_samples,
+              (CASE i % 3 WHEN 0 THEN 12 WHEN 1 THEN 16 ELSE 0 END)::BIGINT AS n_bytes,
+              i % 3 IN (0, 1) AS ok
+            FROM generate_series(0, 63) t(i)
+            ORDER BY media_id
         """,
         "route_dispatch": f"""
             WITH {URLS_CTE.strip()}

@@ -383,6 +383,22 @@ class WaveRunner:
                 F.lit(wave).alias("wave"), "domain_bucket",
             )
             self._queue_flush("edges", wave, edges, group=wave)
+        # Per-filter cardinality rides the same single-shuffle agg as
+        # urls_in/out (conditional sums partial-aggregate map-side); the
+        # reason vocabulary is the closed admission set (admission.py
+        # checks list) + the post-seen ignore_test verdict, kept static
+        # so the lineage schema never varies with CrawlConfig.
+        _fc_keys = (
+            "refresh_seen", "domain", "empty", "fragment", "home",
+            "image", "visited", "seen", "rule", "ignore_test",
+        )
+        _fc_sums = [
+            F.sum(
+                (F.col("filtered") if k == "ignore_test"
+                 else (F.col("reject_reason") == k)).cast("long")
+            ).alias(f"__fc_{k}")
+            for k in _fc_keys
+        ]
         lineage = (
             admitted.groupBy("domain_bucket")
             .agg(
@@ -390,11 +406,16 @@ class WaveRunner:
                 F.sum(
                     ((F.col("verdict") == "valid") & ~F.col("filtered")).cast("long")
                 ).alias("urls_out"),
+                *_fc_sums,
             )
             .select(
                 F.lit(wave).alias("wave_id"),
                 F.col("domain_bucket").alias("partition_id"),
                 "urls_in", "urls_out",
+                F.map_from_arrays(
+                    F.array(*[F.lit(k) for k in _fc_keys]),
+                    F.array(*[F.col(f"__fc_{k}") for k in _fc_keys]),
+                ).alias("filter_cardinality"),
                 F.current_timestamp().alias("ts"),
             )
         )

@@ -205,3 +205,33 @@ def test_robots_enforcement(spark, site, tmp_path):
     for ts in waves.values():
         for a, b in zip(ts, ts[1:]):
             assert b - a == pytest.approx(2.0)
+
+
+def test_lineage_filter_cardinality(spark, site, tmp_path):
+    """Lineage rows carry per-filter rejection counts that exactly
+    account for urls_in - urls_out (wave_id, partition_id, urls_in/out,
+    filter cardinality — the per-partition audit contract)."""
+    config = CrawlConfig(
+        start_urls=["http://sitea.test/"],
+        ignore_images=True,
+        gather_ignore_tests=[r"/customer/"],
+        ignore_path_substrings=["/legal"],
+    )
+    io, _ = run_engine(spark, site, config, tmp_path / "lin")
+    rows = io.read("lineage").collect()
+    assert rows
+    keys = {
+        "refresh_seen", "domain", "empty", "fragment", "home",
+        "image", "visited", "seen", "rule", "ignore_test",
+    }
+    totals = {k: 0 for k in keys}
+    for r in rows:
+        fc = r["filter_cardinality"]
+        assert set(fc) == keys
+        # closed vocabulary ⇒ the reasons fully explain the drop
+        assert r["urls_in"] - r["urls_out"] == sum(fc.values()), r
+        for k, v in fc.items():
+            totals[k] += v
+    # the configured filters actually fired somewhere in the crawl
+    assert totals["ignore_test"] > 0  # /customer/ gather-ignore
+    assert totals["seen"] > 0
