@@ -11,10 +11,12 @@ Operators:
 - minhash_lsh_pairs  — banded LSH candidate pairs (band → bucket join)
 - ngram_jaccard_pairs— exact n-gram Jaccard via common-shingle join
 - simhash64          — 64-bit SimHash from per-token md5 bits
+- simhash64_np       — same signatures, shuffle-free numpy pandas UDF
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -245,3 +247,54 @@ def simhash64(df: DataFrame, text_col: str = "text", bits: int = 16) -> DataFram
             ).alias("simhash")
         )
     )
+
+
+def simhash64_np(df: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
+    """The 100 TB SimHash path: identical signatures to ``simhash64``
+    (pinned by ``test_simhash_np_matches_explode``), computed
+    shuffle-free in one Arrow-batched pandas UDF. The explode form
+    pushes |tokens|·bits rows through a (doc_id, j) shuffle — at 100 TB
+    that is the dominant cost; here the ±1 popcount math happens in a
+    numpy matrix per batch and the only data movement is the document
+    scan itself. Tokenization and per-token md5 bit derivation mirror
+    ``normalized_tokens``/``simhash64`` exactly (lowercase, alnum-only,
+    distinct tokens; hex-prefix hash words, sign-bit wrap at bit 63)."""
+    if not 1 <= bits <= 64:
+        raise ValueError(f"bits must be in 1..64, got {bits}")
+
+    import hashlib
+    import re as _re
+
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    nhex = (bits + 3) // 4
+
+    @pandas_udf(LongType())
+    def _sig(texts: pd.Series) -> pd.Series:
+        shifts = np.arange(bits, dtype=np.uint64)
+
+        def one(text: str | None) -> int:
+            toks = set() if text is None else {
+                t for t in _re.sub(r"[^a-z0-9 ]", " ", text.lower()).split() if t
+            }
+            if not toks:
+                return 0
+            digs = [hashlib.md5(t.encode()).hexdigest() for t in toks]
+            if bits <= 60:
+                h = np.array([int(d[:nhex], 16) for d in digs], dtype=np.uint64)
+                bitmat = (h[:, None] >> shifts[None, :]) & 1
+            else:
+                h1 = np.array([int(d[:8], 16) for d in digs], dtype=np.uint64)
+                h2 = np.array([int(d[8:16], 16) for d in digs], dtype=np.uint64)
+                lo = (h1[:, None] >> shifts[None, :32]) & 1
+                hi = (h2[:, None] >> (shifts[None, 32:bits] - 32)) & 1
+                bitmat = np.concatenate([lo, hi], axis=1)
+            s = (2 * bitmat.astype(np.int64) - 1).sum(axis=0)
+            total = int(((s > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64))
+            return total - (1 << 64) if total >= (1 << 63) else total
+
+        return texts.map(one)
+
+    return df.select("doc_id", _sig(F.col(text_col)).alias("simhash"))

@@ -100,6 +100,29 @@ def test_simhash(corpus):
     assert ham_near < ham_far
 
 
+@pytest.mark.parametrize("bits", [16, 60, 64])
+def test_simhash_np_matches_explode(spark, corpus, bits):
+    """The shuffle-free numpy path must emit bit-identical signatures
+    to the explode/SQL-reproducible form — including the sign-bit wrap
+    at bit 63 and the two-word hash derivation for bits > 60. Unicode
+    + null rows ride along to pin the tokenizer equivalence."""
+    extra = spark.createDataFrame(
+        [(100, "Çrème BRÛLÉE 42 naïve—déjà_vu"), (101, None), (102, "   ")],
+        "doc_id long, text string",
+    )
+    docs = corpus.unionByName(extra)
+    a = {r["doc_id"]: r["simhash"]
+         for r in dedup.simhash64(docs, bits=bits).collect()}
+    b = {r["doc_id"]: r["simhash"]
+         for r in dedup.simhash64_np(docs, bits=bits).collect()}
+    # explode drops token-less docs (no rows to aggregate); the np path
+    # keeps them with signature 0 — compare on the explode universe
+    assert set(a) <= set(b)
+    for d, sig in a.items():
+        assert b[d] == sig, d
+    assert b[101] == 0 and b[102] == 0
+
+
 @pytest.fixture(scope="module")
 def vectors(spark):
     rng = np.random.default_rng(42)
