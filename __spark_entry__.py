@@ -618,7 +618,7 @@ def q_product_models(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("p_size") < 30, F.lit("M"))
         .otherwise(F.lit("L")),
     )
-    return p.select(
+    out = p.select(
         F.col("p_partkey").alias("product_id"),
         F.col("p_name").alias("name"),
         F.concat(
@@ -627,7 +627,7 @@ def q_product_models(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("complex_name"),
         url.alias("url"),
         F.regexp_extract(url, "product-([0-9]+)", 1).alias("collection_id"),
-        F.round(F.col("p_retailprice"), 2).alias("price"),
+        F.col("p_retailprice").alias("price"),
         # Array columns are pipe-serialized for the driver's pandas
         # canon (lists are unhashable in sort_values); element order is
         # deterministic (sort_array / construction order).
@@ -636,6 +636,12 @@ def q_product_models(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(sizes, "|").alias("sizes"),
         (F.col("p_partkey") % 7 == 0).alias("out_of_stock"),
     )
+    # §2.10 model field cleaners (base.py:527-534 clean_<field> hooks)
+    # as a declarative spec — compiled into one projection by
+    # apply_cleaners, so the hook runs JVM-side.
+    from kryptone_spark.operators.models import apply_cleaners
+
+    return apply_cleaners(out, {"price": lambda c: F.round(c, 2)})
 
 
 def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -216,3 +216,34 @@ def test_stemmed_word_frequency_folds_variants(spark):
         for r in seo.stemmed_word_frequency(df, top_k=5).collect()
     }
     assert got == {"walk": 4, "cat": 3}
+
+
+def test_apply_cleaners_single_projection(spark):
+    """§2.10 model field cleaners: callable and ready-Column specs both
+    apply; every hook sees the ORIGINAL value (order-independent, like
+    the reference's clean_<field> dispatch); unknown fields raise; and
+    all cleaners compile into one Project (one codegen span)."""
+    from kryptone_spark.operators.models import apply_cleaners
+
+    df = spark.createDataFrame(
+        [(" Widget  A ", 12.349, "X")], "name string, price double, tag string"
+    )
+    out = apply_cleaners(
+        df,
+        {
+            "name": lambda c: F.trim(F.regexp_replace(c, r"\s+", " ")),
+            "price": F.round(F.col("price"), 2),
+            # 'tag' cleaner reads 'name' — must see the raw value
+            "tag": F.substring(F.col("name"), 1, 1),
+        },
+    )
+    r = out.collect()[0]
+    assert r["name"] == "Widget A"
+    assert r["price"] == 12.35
+    assert r["tag"] == " "  # raw name's leading space, not the cleaned one
+
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Project") == 1
+
+    with pytest.raises(ValueError, match="not in DataFrame"):
+        apply_cleaners(df, {"missing": F.lit(1)})
