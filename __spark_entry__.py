@@ -382,6 +382,29 @@ def q_docs_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full dedup pipeline: minhash → banded LSH pairs → connected
+    components (alternating star contraction) → per-doc cluster label +
+    canonical flag. Every doc appears; singletons label themselves.
+    Oracle: same pairs in SQL, then a recursive-CTE transitive closure
+    with min-label aggregation — an independent CC algorithm, so the
+    star contraction's fixpoint is value-checked, not replayed."""
+    from kryptone_spark.operators import dedup
+
+    docs = _load(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, max_bucket_size=50)
+    labels = dedup.duplicate_clusters(pairs)
+    return (
+        docs.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+        )
+        .withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
+    )
+
+
 def q_docs_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard with the hot-shingle cap exercised: tokens
     in >250 docs (stopwords at sf0.01's 500 docs) are dropped from the
@@ -999,6 +1022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_exact_dedup": q_docs_exact_dedup,
         "docs_minhash": q_docs_minhash,
         "docs_lsh_pairs": q_docs_lsh_pairs,
+        "docs_dup_clusters": q_docs_dup_clusters,
         "docs_jaccard": q_docs_jaccard,
         "docs_simhash": q_docs_simhash,
         "docs_langid": q_docs_langid,
@@ -1316,6 +1340,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
             FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
             GROUP BY doc_a, doc_b
+        """,
+        "docs_dup_clusters": f"""
+            WITH RECURSIVE {TOKS_CTE.strip()},
+            sigs AS (SELECT doc_id, {_SIG_COLS} FROM toks GROUP BY doc_id),
+            bands0 AS ({_BANDS_SQL}),
+            ok AS (SELECT band, bucket FROM bands0 GROUP BY band, bucket HAVING count(*) <= 50),
+            bands AS (SELECT bands0.* FROM bands0 JOIN ok USING (band, bucket)),
+            pairs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+              GROUP BY doc_a, doc_b),
+            edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                      UNION SELECT doc_b, doc_a FROM pairs),
+            reach(a, b) AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+            labels AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a)
+            SELECT d.doc_id,
+                   coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+                   (d.doc_id = coalesce(l.cluster_id, d.doc_id)) AS is_canonical
+            FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
         """,
         "docs_jaccard": f"""
             WITH {TOKS_CTE.strip()},

@@ -105,10 +105,15 @@ def bench_seen_antijoin(spark, n_urls: int) -> dict:
     return {"sec": dt, "cold_sec": cold, "rows": n, "urls_per_sec": n_urls / dt}
 
 
-def _steady_state(run, df, iters: int = 3):
+def _steady_state(run, df, iters: int = 6):
     """Cold run (codegen compile + first JIT pass) reported separately;
-    steady-state = best of `iters` subsequent runs (C2 JIT on a shared
-    box needs 2-3 passes to converge; GC pauses produce outliers)."""
+    steady-state = best of `iters` subsequent runs. Measured convergence
+    for the admission leg (the largest codegen method) is 17s → 5.1 →
+    3.5 → 3.3 → … → ~1.1s over repeated executions: C2 needs several
+    thousand row-batches through the generated method before the full
+    chain is compiled, so 3 warm passes under-reported steady state by
+    ~2x. Six passes bound that; best-of also rides out shared-host
+    tenant bursts (multi-second outliers are routine here)."""
     t = time.time()
     n = run(df)
     cold = time.time() - t

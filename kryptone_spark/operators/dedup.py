@@ -298,3 +298,115 @@ def simhash64_np(df: DataFrame, text_col: str = "text", bits: int = 16) -> DataF
         return texts.map(one)
 
     return df.select("doc_id", _sig(F.col(text_col)).alias("simhash"))
+
+
+def _star_round(edges: DataFrame, large: bool) -> DataFrame:
+    """One star-contraction step over a distinct (u, v) edge set with
+    u > v. Treats the graph as undirected (symmetrizes), computes per
+    center u the component-local minimum m = min(neighbors ∪ {u}), and
+    rewires: large-star points every strictly-larger neighbor at m,
+    small-star points every ≤-neighbor and u itself at m. Both emit
+    only (bigger, smaller) edges, so the invariant is preserved."""
+    sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("__mn"))
+        .withColumn("m", F.least(F.col("u"), F.col("__mn")))
+        .select("u", "m")
+    )
+    j = sym.join(mins, "u")
+    if large:
+        out = j.where(F.col("v") > F.col("u")).select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        )
+    else:
+        out = (
+            j.where(F.col("v") <= F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins.select(F.col("u"), F.col("m").alias("v")))
+        )
+    return out.where(F.col("u") != F.col("v")).distinct()
+
+
+def _edge_fingerprint(edges: DataFrame) -> tuple[int, int]:
+    """O(1)-driver fixpoint probe: (row count, xor of per-edge 64-bit
+    hashes). Sets are distinct, so multiset anomalies can't cancel; a
+    false fixpoint needs an xxhash64 xor collision between successive
+    edge sets of equal size — negligible, and any such run would be
+    caught by the label-vs-oracle tests."""
+    row = edges.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return row["n"], row["h"]
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_rounds: int = 30,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair list → cluster
+    labels: (doc_id, cluster_id) where cluster_id is the lexicographic
+    minimum doc_id of the component. The missing third stage of the
+    standard web-scale dedup pipeline (minhash → LSH pairs → CLUSTERS →
+    canonical keep, as in C4/RefinedWeb-style corpus curation); the
+    reference never needs it because it dedups URLs, not content.
+
+    Algorithm: alternating large-star / small-star contraction
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    O(log n) rounds even on pathological chain graphs, each round a
+    constant number of key shuffles on the edge set, nothing
+    driver-side but two scalars per half-step. Naive min-label
+    propagation (the obvious join-loop) needs O(diameter) rounds,
+    which a 10k-doc chained near-dup family would turn into 10k
+    shuffles at 100 TB; star contraction is the scale-correct choice.
+    Convergence: a full round where neither half-step changes the edge
+    set (both probed by count+hash fingerprint, never a driver
+    collect of edges). At the fixpoint the edge set IS the star forest
+    (every doc points at its component minimum), so labels read off
+    directly. Only docs appearing in ≥1 pair are labeled — callers
+    left-join and coalesce(cluster_id, doc_id) for singletons."""
+    edges = (
+        pairs.select(
+            F.greatest(F.col(a_col), F.col(b_col)).alias("u"),
+            F.least(F.col(a_col), F.col(b_col)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    fp = _edge_fingerprint(edges)
+    for _ in range(max_rounds):
+        grown = _star_round(edges, large=True).localCheckpoint(eager=True)
+        fp_l = _edge_fingerprint(grown)
+        shrunk = _star_round(grown, large=False).localCheckpoint(eager=True)
+        fp_s = _edge_fingerprint(shrunk)
+        edges = shrunk
+        if fp_l == fp and fp_s == fp_l:
+            break
+        fp = fp_s
+    else:
+        raise RuntimeError(
+            f"duplicate_clusters did not converge in {max_rounds} rounds"
+        )
+    roots = edges.select(F.col("v")).distinct()
+    return edges.select(
+        F.col("u").alias("doc_id"), F.col("v").alias("cluster_id")
+    ).union(
+        roots.select(F.col("v").alias("doc_id"), F.col("v").alias("cluster_id"))
+    )
+
+
+def dedup_keep(
+    docs: DataFrame, clusters: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Canonical-representative filter: drop every doc whose cluster
+    label is some OTHER doc (the component minimum survives). One
+    anti-join against the (small) non-canonical label set; docs not in
+    any cluster pass through untouched."""
+    drop = clusters.where(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return docs.join(drop, id_col, "left_anti")

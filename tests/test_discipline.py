@@ -37,6 +37,7 @@ def test_collect_only_in_declared_places():
         "kryptone_spark/operators/schedule.py",   # scalar agg
         "kryptone_spark/sinks/exports.py",        # guarded cache.json export
         "kryptone_spark/functions/rank.py",       # per-partition counts: O(num_partitions)
+        "kryptone_spark/operators/dedup.py",      # CC fixpoint probe: one (count, hash) row
     }
     got = set()
     for f in PKG.rglob("*.py"):

@@ -368,3 +368,67 @@ def test_lang_scores_discriminate_real_languages(spark):
     )
     got = {r["doc_id"]: r["lang_pred"] for r in textstats.lang_scores(docs).collect()}
     assert got == {"en1": "en", "es1": "es", "fr1": "fr", "de1": "de", "zh1": "zh"}, got
+
+
+def _uf_labels(pairs):
+    """Reference CC: path-halving union-find with min-root merging."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def test_duplicate_clusters_vs_union_find(spark):
+    """Star contraction == union-find on shapes that stress it: a long
+    chain (worst case for naive min-propagation), disjoint cliques, a
+    hub star, self-loops, and a seeded random graph."""
+    import random
+
+    rng = random.Random(7)
+    nodes = [f"n{i:03d}" for i in range(60)]
+    cases = [
+        [(f"d{i}", f"d{i+1}") for i in range(15)],
+        [(f"d{15 - i}", f"d{14 - i}") for i in range(15)],
+        [(f"a{i}", f"a{j}") for i in range(4) for j in range(i + 1, 4)]
+        + [(f"b{i}", f"b{j}") for i in range(3) for j in range(i + 1, 3)],
+        [("z0", f"z{i}") for i in range(1, 6)] + [("x1", "x1")],
+        [(rng.choice(nodes), rng.choice(nodes)) for _ in range(80)],
+    ]
+    for pairs in cases:
+        df = spark.createDataFrame(pairs, "doc_a string, doc_b string")
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in dedup.duplicate_clusters(df).collect()
+        }
+        want = _uf_labels([p for p in pairs if p[0] != p[1]])
+        assert got == want
+
+
+def test_duplicate_clusters_empty(spark):
+    df = spark.createDataFrame([], "doc_a string, doc_b string")
+    assert dedup.duplicate_clusters(df).count() == 0
+
+
+def test_dedup_keep_canonical_only(spark):
+    docs = spark.createDataFrame(
+        [(f"d{i}", f"text {i}") for i in range(6)], "doc_id string, text string"
+    )
+    pairs = spark.createDataFrame(
+        [("d1", "d3"), ("d3", "d5")], "doc_a string, doc_b string"
+    )
+    clusters = dedup.duplicate_clusters(pairs)
+    kept = sorted(
+        r["doc_id"] for r in dedup.dedup_keep(docs, clusters).collect()
+    )
+    # d3, d5 collapse into d1's cluster; d0/d2/d4 are untouched singletons
+    assert kept == ["d0", "d1", "d2", "d4"]
