@@ -405,6 +405,37 @@ def q_docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-mix rebalance: per-language keep
+    fractions (en .5, es .25, zh 1.0, everything else .1) driven by a
+    portable md5 bucket — no rand(), so the sample is reproducible on
+    any cluster size and the oracle re-derives the same selection."""
+    from kryptone_spark.operators import curation
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = curation.stratified_sample(
+        docs, {"en": 0.5, "es": 0.25, "zh": 1.0},
+        strata_col="lang", default_fraction=0.1,
+    )
+    return out.withColumn(
+        "bucket", curation.portable_bucket(F.col("doc_id"))
+    )
+
+
+def q_docs_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard plan: docs in doc_id order fill 1000-token
+    training shards; shard_id = floor(exclusive running sum / budget)
+    via the two-phase global cumsum (range exchange + per-partition
+    windows), never a single-task global window."""
+    from kryptone_spark.functions import text as TXT
+    from kryptone_spark.operators import curation
+
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id", TXT.token_count(F.col("text")).alias("n_tokens")
+    )
+    return curation.pack_shards(docs, budget=1000, token_col="n_tokens")
+
+
 def q_docs_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard with the hot-shingle cap exercised: tokens
     in >250 docs (stopwords at sf0.01's 500 docs) are dropped from the
@@ -1023,6 +1054,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_minhash": q_docs_minhash,
         "docs_lsh_pairs": q_docs_lsh_pairs,
         "docs_dup_clusters": q_docs_dup_clusters,
+        "docs_sample_mix": q_docs_sample_mix,
+        "docs_shard_pack": q_docs_shard_pack,
         "docs_jaccard": q_docs_jaccard,
         "docs_simhash": q_docs_simhash,
         "docs_langid": q_docs_langid,
@@ -1362,6 +1395,30 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(l.cluster_id, d.doc_id) AS cluster_id,
                    (d.doc_id = coalesce(l.cluster_id, d.doc_id)) AS is_canonical
             FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+        """,
+        "docs_sample_mix": f"""
+            WITH b AS (SELECT doc_id, lang, substr(md5(doc_id::VARCHAR), 1, 4) AS h16 FROM documents),
+            v AS (SELECT doc_id, lang, {_HEXVAL}::INTEGER AS bucket FROM b)
+            SELECT doc_id, lang, bucket FROM v
+            WHERE bucket < CASE lang
+                             WHEN 'en' THEN 32768
+                             WHEN 'es' THEN 16384
+                             WHEN 'zh' THEN 65536
+                             ELSE 6554
+                           END
+        """,
+        "docs_shard_pack": """
+            WITH t AS (
+              SELECT doc_id,
+                     (CASE WHEN trim(text) = '' THEN 0
+                           ELSE len(string_split_regex(trim(text), '\\s+'))
+                      END)::INTEGER AS n_tokens
+              FROM documents)
+            SELECT doc_id, n_tokens,
+                   floor(coalesce(SUM(n_tokens) OVER (
+                       ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) / 1000)::INTEGER AS shard_id
+            FROM t
         """,
         "docs_jaccard": f"""
             WITH {TOKS_CTE.strip()},

@@ -101,3 +101,59 @@ def ranked_top_k(
     a genuine global-window violation.)"""
     top = df.orderBy(*order_by).limit(k)
     return global_row_number(top, order_by, out_col=out_col, num_partitions=1)
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_by: list[Column],
+    value: Column,
+    out_col: str = "cumsum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append ``out_col`` = EXCLUSIVE running sum of ``value`` under the
+    global order ``order_by`` — the scale-safe form of
+    ``sum() OVER (ORDER BY …)`` (which, unpartitioned, is a
+    single-task sort, banned in this repo). Same two-phase shape as
+    ``global_row_number``: range exchange on the sort keys, windowed
+    sum within each range partition, per-partition totals (O(P) longs
+    on the driver) folded into starting offsets. ``order_by`` must be
+    a total order (unique tiebreaker included)."""
+    if num_partitions is None:
+        num_partitions = df.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        df.withColumn("__v", value)
+        .repartitionByRange(num_partitions, *order_by)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    totals = {
+        r["__pid"]: r["s"]
+        for r in ranged.groupBy("__pid")
+        .agg(F.coalesce(F.sum("__v"), F.lit(0)).alias("s"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid]
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offset_col = (
+        F.element_at(
+            F.create_map(
+                *[x for pid, off in offsets.items() for x in (F.lit(pid), F.lit(off))]
+            ),
+            F.col("__pid"),
+        )
+        if offsets
+        else F.lit(0)
+    )
+    return (
+        ranged.withColumn(
+            out_col, F.coalesce(F.sum("__v").over(w), F.lit(0)) + offset_col
+        )
+        .drop("__pid", "__v")
+    )

@@ -1,0 +1,133 @@
+"""Corpus-curation operators: deterministic sampling and shard packing.
+
+Engine-only capability (the reference crawls; it never curates a
+training corpus) — first-class alongside the dedup/ANN family. Every
+operator is reproducible from the data alone: selection is driven by a
+portable md5-derived bucket, never ``rand()``, so the same corpus
+always yields the same sample on any cluster size, and every operator
+has an exact DuckDB oracle.
+
+Scale notes (100 TB): ``hash_sample`` / ``stratified_sample`` are pure
+narrow filters — no shuffle, fully pushed into the scan's codegen
+span. ``stratified_take`` shuffles once on the stratum key (a
+partitioned window, never a global one). ``pack_shards`` needs a
+global running sum, which uses the two-phase range exchange from
+``functions/rank.py`` (per-partition windows + O(P) driver offsets) —
+the single-task ``sum() OVER (ORDER BY …)`` form is banned here.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kryptone_spark.functions.rank import global_cumsum
+
+# 4 hex chars = 16 bits: granularity 1/65536 ≈ 0.0015% — enough for
+# sampling rates, small enough that DuckDB's integer build from hex
+# digits (strpos arithmetic, no conv()) stays exact.
+BUCKETS = 65536
+
+
+def portable_bucket(key: Column, salt: str = "") -> Column:
+    """Deterministic bucket in [0, 65536): the first 4 hex chars of
+    md5(key || salt) as an int. Identical in DuckDB via per-digit
+    strpos arithmetic, so sampling decisions are engine-portable.
+    A salt gives independent draws for repeated sampling of the same
+    corpus (different salt ⇒ statistically independent selection)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(key, F.lit(salt))), 1, 4), 16, 10
+    ).cast("int")
+
+
+def hash_sample(
+    df: DataFrame, fraction: float, key_col: str = "doc_id", salt: str = ""
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen by key hash — reproducible,
+    order-independent, join-stable (the same doc_id is kept in every
+    table it appears in, so sampled fact/dim tables stay consistent)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    thresh = int(round(fraction * BUCKETS))
+    return df.where(portable_bucket(F.col(key_col), salt) < F.lit(thresh))
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: Mapping[str, float],
+    strata_col: str,
+    key_col: str = "doc_id",
+    default_fraction: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum hash sampling (the deterministic twin of Spark's
+    ``sampleBy``): each stratum value gets its own keep-fraction —
+    the standard rebalancing move for a training mix (e.g. upweight
+    low-resource languages, downsample boilerplate-heavy domains).
+    Still a pure narrow filter: the per-stratum threshold folds into
+    one CASE expression against the same portable bucket."""
+    for s, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for stratum {s!r} must be in [0, 1]")
+    thresh: Column = F.lit(int(round(default_fraction * BUCKETS)))
+    for s, frac in fractions.items():
+        thresh = F.when(
+            F.col(strata_col) == F.lit(s), F.lit(int(round(frac * BUCKETS)))
+        ).otherwise(thresh)
+    return df.where(portable_bucket(F.col(key_col), salt) < thresh)
+
+
+def stratified_take(
+    df: DataFrame, n: int, strata_col: str, key_col: str = "doc_id", salt: str = ""
+) -> DataFrame:
+    """EXACTLY ``n`` rows per stratum (fewer if the stratum is smaller),
+    chosen by hash order — exact quotas where ``stratified_sample``
+    gives expected ones. One shuffle on the stratum key; the window is
+    partitioned, so no stratum ever serializes the whole corpus
+    through one task. Hash-then-key ordering makes the quota a uniform
+    draw yet fully deterministic."""
+    from pyspark.sql import Window
+
+    if n < 0:
+        raise ValueError(f"n must be >= 0, got {n}")
+    w = Window.partitionBy(strata_col).orderBy(
+        portable_bucket(F.col(key_col), salt), F.col(key_col)
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= n)
+        .drop("__rk")
+    )
+
+
+def pack_shards(
+    df: DataFrame,
+    budget: int | float,
+    token_col: str,
+    order_col: str = "doc_id",
+    out_col: str = "shard_id",
+) -> DataFrame:
+    """Assign each doc to a training shard by sequential fill: docs in
+    ``order_col`` order accumulate into a shard until ``budget``
+    tokens, then the next shard starts — shard_id = floor(exclusive
+    running token sum / budget). This is the deterministic shard plan
+    a dataloader needs (every engine run and every cluster size yields
+    the same doc→shard map); docs larger than the budget get their own
+    boundary-straddling shard rather than being split.
+
+    Scale: the running sum is the two-phase ``global_cumsum`` — one
+    range exchange, per-partition windowed sums, O(P) driver offsets.
+    No global window, no driver data path."""
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    out = global_cumsum(
+        df,
+        order_by=[F.col(order_col)],
+        value=F.col(token_col).cast("long"),
+        out_col="__cum",
+    )
+    return out.withColumn(
+        out_col, F.floor(F.col("__cum") / F.lit(budget)).cast("int")
+    ).drop("__cum")

@@ -348,8 +348,10 @@ def duplicate_clusters(
     max_rounds: int = 30,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair list → cluster
-    labels: (doc_id, cluster_id) where cluster_id is the lexicographic
-    minimum doc_id of the component. The missing third stage of the
+    labels: (doc_id, cluster_id) where cluster_id is the minimum doc_id
+    of the component under the id column's natural ordering
+    (lexicographic for strings, numeric for ints — deterministic either
+    way). The missing third stage of the
     standard web-scale dedup pipeline (minhash → LSH pairs → CLUSTERS →
     canonical keep, as in C4/RefinedWeb-style corpus curation); the
     reference never needs it because it dedups URLs, not content.

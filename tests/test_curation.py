@@ -1,0 +1,118 @@
+"""Corpus-curation operators: deterministic sampling + shard packing.
+
+Each operator is checked against a pure-Python oracle computing the
+same md5-bucket / running-sum math, so determinism and engine parity
+(the DuckDB contract oracles use identical formulas) are both pinned.
+"""
+
+import hashlib
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from kryptone_spark.operators import curation
+
+ROWS = [(f"d{i:04d}", ["en", "es", "fr"][i % 3], (i * 37) % 500 + 1) for i in range(2000)]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        ROWS, "doc_id string, lang string, n_tokens int"
+    ).localCheckpoint()
+
+
+def _bucket(k: str, salt: str = "") -> int:
+    return int(hashlib.md5((k + salt).encode()).hexdigest()[:4], 16)
+
+
+def test_hash_sample_matches_python_oracle(docs):
+    got = sorted(r["doc_id"] for r in curation.hash_sample(docs, 0.25).collect())
+    want = sorted(k for k, _, _ in ROWS if _bucket(k) < round(0.25 * 65536))
+    assert got == want
+    # rate lands near the target
+    assert abs(len(got) / len(ROWS) - 0.25) < 0.03
+
+
+def test_hash_sample_salt_gives_independent_draw(docs):
+    a = {r["doc_id"] for r in curation.hash_sample(docs, 0.5).collect()}
+    b = {r["doc_id"] for r in curation.hash_sample(docs, 0.5, salt="v2").collect()}
+    assert a != b
+    # two independent 50% draws intersect in ~25% of the corpus
+    assert 0.15 < len(a & b) / len(ROWS) < 0.35
+
+
+def test_stratified_sample_per_stratum_thresholds(docs):
+    fr = {"en": 0.5, "es": 0.1}
+    got = sorted(
+        r["doc_id"]
+        for r in curation.stratified_sample(docs, fr, "lang").collect()
+    )
+    want = sorted(
+        k for k, l, _ in ROWS if _bucket(k) < round(fr.get(l, 0.0) * 65536)
+    )
+    assert got == want  # fr has no 'fr' entry -> default 0.0 drops that stratum
+
+
+def test_stratified_take_exact_quotas(docs):
+    out = curation.stratified_take(docs, 7, "lang").collect()
+    assert all(v == 7 for v in Counter(r["lang"] for r in out).values())
+    bylang: dict[str, list[str]] = {}
+    for k, l, _ in ROWS:
+        bylang.setdefault(l, []).append(k)
+    want = sorted(
+        k
+        for ks in bylang.values()
+        for k in sorted(ks, key=lambda k: (_bucket(k), k))[:7]
+    )
+    assert sorted(r["doc_id"] for r in out) == want
+
+
+def test_stratified_take_small_stratum_unpadded(spark):
+    df = spark.createDataFrame(
+        [("a", "x"), ("b", "x"), ("c", "y")], "doc_id string, lang string"
+    )
+    out = Counter(
+        r["lang"] for r in curation.stratified_take(df, 5, "lang").collect()
+    )
+    assert out == {"x": 2, "y": 1}
+
+
+def test_pack_shards_sequential_fill(docs):
+    got = {
+        r["doc_id"]: r["shard_id"]
+        for r in curation.pack_shards(docs, 10_000, "n_tokens").collect()
+    }
+    cum, want = 0, {}
+    for k, _, t in sorted(ROWS):
+        want[k] = cum // 10_000
+        cum += t
+    assert got == want
+    # shards are contiguous doc_id ranges (sequential fill, no gaps)
+    sids = [want[k] for k in sorted(want)]
+    assert sids == sorted(sids)
+    assert set(sids) == set(range(max(sids) + 1))
+
+
+def test_pack_shards_oversized_doc_own_shard(spark):
+    df = spark.createDataFrame(
+        [("a", 10), ("b", 5000), ("c", 10)], "doc_id string, n_tokens int"
+    )
+    got = {
+        r["doc_id"]: r["shard_id"]
+        for r in curation.pack_shards(df, 100, "n_tokens").collect()
+    }
+    # b starts in shard 0's leftover (cum=10 -> shard 0); c lands past it
+    assert got == {"a": 0, "b": 0, "c": 50}
+
+
+def test_validation_errors(docs):
+    with pytest.raises(ValueError):
+        curation.hash_sample(docs, 1.5)
+    with pytest.raises(ValueError):
+        curation.stratified_sample(docs, {"en": -0.1}, "lang")
+    with pytest.raises(ValueError):
+        curation.stratified_take(docs, -1, "lang")
+    with pytest.raises(ValueError):
+        curation.pack_shards(docs, 0, "n_tokens")
