@@ -479,6 +479,59 @@ def q_docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality gates (dup-word fraction +
+    top-bigram fraction) — the degenerate-repetition scrub a training
+    corpus runs before tokenization."""
+    from kryptone_spark.operators import textstats
+
+    return textstats.repetition_stats(_load(spark, sf_dir, "documents")).select(
+        "doc_id", "n_words", "dup_word_frac", "n_bigrams", "top_bigram_frac"
+    )
+
+
+def q_docs_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scan + redaction over deterministic PII-bearing text
+    synthesized from customer rows (name→email, c_phone, derived IPv4).
+    Counts are taken on progressively-redacted text so kinds never
+    double-count; one codegen projection, no shuffle."""
+    from kryptone_spark.operators import pii
+
+    c = _load(spark, sf_dir, "customer")
+    key = F.col("c_custkey")
+    text = F.concat(
+        F.lit("Contact "),
+        F.when(
+            key % 3 != 0,
+            F.concat(
+                F.lower(F.regexp_replace(F.col("c_name"), "#", ".")),
+                F.lit("@corp"), (key % 7).cast("string"), F.lit(".example"),
+            ),
+        ).otherwise(F.lit("the desk")),
+        F.lit(" or call "),
+        F.when(
+            key % 4 != 0,
+            F.concat(
+                (key % 90 + 10).cast("string"), F.lit("-"),
+                (key % 900 + 100).cast("string"), F.lit("-"),
+                ((key * 7) % 900 + 100).cast("string"), F.lit("-"),
+                ((key * 13) % 9000 + 1000).cast("string"),
+            ),
+        ).otherwise(F.lit("later")),
+        F.lit(" from host "),
+        F.when(
+            key % 5 != 0,
+            F.concat(
+                F.lit("10."), (key % 256).cast("string"),
+                F.lit(".0."), (key % 100).cast("string"),
+            ),
+        ).otherwise(F.lit("unknown")),
+    )
+    df = c.select(key.alias("c_custkey"), text.alias("text"))
+    out = pii.pii_redact(pii.pii_scan(df), out_col="redacted")
+    return out.select("c_custkey", "n_email", "n_phone", "n_ipv4", "redacted")
+
+
 def q_docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kryptone_spark.operators import textstats
 
@@ -1062,6 +1115,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_quality": q_docs_quality,
         "docs_token_stats": q_docs_token_stats,
         "docs_fingerprint": q_docs_fingerprint,
+        "docs_repetition": q_docs_repetition,
+        "docs_pii": q_docs_pii,
         "docs_wordfreq_topk": q_docs_wordfreq_topk,
         "docs_tfidf": q_docs_tfidf,
         "emb_cosine_topk": q_emb_cosine_topk,
@@ -1491,6 +1546,80 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp_md5
             FROM documents
+        """,
+        "docs_repetition": """
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(
+                       string_split_regex(
+                         regexp_replace(lower(text), '[^a-z0-9一-鿿 ]', ' ', 'g'),
+                         ' +'),
+                       t -> t <> '') AS words
+              FROM documents),
+            b AS (
+              SELECT doc_id,
+                     CASE WHEN len(words) >= 2
+                          THEN list_transform(
+                                 generate_series(1, len(words) - 1),
+                                 i -> words[i] || ' ' || words[i + 1])
+                          ELSE CAST([] AS VARCHAR[]) END AS bigrams,
+                     words
+              FROM w),
+            bg AS (SELECT doc_id, unnest(bigrams) AS bgram FROM b),
+            cnt AS (SELECT doc_id, bgram, count(*) AS c FROM bg GROUP BY doc_id, bgram),
+            agg AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM cnt GROUP BY doc_id)
+            SELECT b.doc_id,
+                   len(b.words)::BIGINT AS n_words,
+                   round(CASE WHEN len(b.words) > 0
+                              THEN 1 - len(list_distinct(b.words))::DOUBLE / len(b.words)
+                              ELSE 0 END, 6) AS dup_word_frac,
+                   coalesce(agg.tot, 0)::BIGINT AS n_bigrams,
+                   coalesce(round(agg.mx::DOUBLE / agg.tot, 6), 0.0) AS top_bigram_frac
+            FROM b LEFT JOIN agg USING (doc_id)
+        """,
+        "docs_pii": """
+            WITH synth AS (
+              SELECT c_custkey,
+                     'Contact ' ||
+                     CASE WHEN c_custkey % 3 <> 0
+                          THEN lower(replace(c_name, '#', '.')) ||
+                               '@corp' || (c_custkey % 7) || '.example'
+                          ELSE 'the desk' END ||
+                     ' or call ' ||
+                     CASE WHEN c_custkey % 4 <> 0
+                          THEN (c_custkey % 90 + 10) || '-' ||
+                               (c_custkey % 900 + 100) || '-' ||
+                               ((c_custkey * 7) % 900 + 100) || '-' ||
+                               ((c_custkey * 13) % 9000 + 1000)
+                          ELSE 'later' END ||
+                     ' from host ' ||
+                     CASE WHEN c_custkey % 5 <> 0
+                          THEN '10.' || (c_custkey % 256) || '.0.' || (c_custkey % 100)
+                          ELSE 'unknown' END AS text
+              FROM customer),
+            s1 AS (
+              SELECT c_custkey,
+                     len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::INTEGER AS n_email,
+                     regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g') AS t1
+              FROM synth),
+            s2 AS (
+              SELECT c_custkey, n_email,
+                     len(regexp_extract_all(t1,
+                       '\\b\\d{2,3}[- ]\\d{3}[- ]\\d{3}[- ]\\d{4}\\b|\\b\\d{3}[- ]\\d{3}[- ]\\d{4}\\b'))::INTEGER AS n_phone,
+                     regexp_replace(t1,
+                       '\\b\\d{2,3}[- ]\\d{3}[- ]\\d{3}[- ]\\d{4}\\b|\\b\\d{3}[- ]\\d{3}[- ]\\d{4}\\b',
+                       '<PHONE>', 'g') AS t2
+              FROM s1)
+            SELECT c_custkey, n_email, n_phone,
+                   len(regexp_extract_all(t2,
+                     '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))::INTEGER AS n_ipv4,
+                   regexp_replace(t2,
+                     '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                     '<IP>', 'g') AS redacted
+            FROM s2
         """,
         "docs_wordfreq_topk": """
             WITH t AS (

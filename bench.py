@@ -105,15 +105,18 @@ def bench_seen_antijoin(spark, n_urls: int) -> dict:
     return {"sec": dt, "cold_sec": cold, "rows": n, "urls_per_sec": n_urls / dt}
 
 
-def _steady_state(run, df, iters: int = 6):
+def _steady_state(run, df, iters: int = 12):
     """Cold run (codegen compile + first JIT pass) reported separately;
     steady-state = best of `iters` subsequent runs. Measured convergence
     for the admission leg (the largest codegen method) is 17s → 5.1 →
     3.5 → 3.3 → … → ~1.1s over repeated executions: C2 needs several
     thousand row-batches through the generated method before the full
-    chain is compiled, so 3 warm passes under-reported steady state by
-    ~2x. Six passes bound that; best-of also rides out shared-host
-    tenant bursts (multi-second outliers are routine here)."""
+    chain is compiled. Re-measured for the frontier leg (round 2): the
+    plateau only arrives at warm pass ~6-8 (0.53s / 1.9M URLs/s — iters
+    1-5 still read 0.6-1.3s), so best-of-6 under-reported steady state
+    by up to 1.5x depending on where JIT landed. Twelve passes put the
+    best-of window safely inside the plateau; best-of also rides out
+    shared-host tenant bursts (multi-second outliers are routine)."""
     t = time.time()
     n = run(df)
     cold = time.time() - t

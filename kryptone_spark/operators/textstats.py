@@ -82,6 +82,77 @@ def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("n_ws_tokens", ws).withColumn("n_bpe_tokens", bpe_ish)
 
 
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", key_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1, public):
+    per-document duplicate-word fraction and top-bigram fraction — the
+    standard "boilerplate / degenerate repetition" quality gates of a
+    training-data pipeline.
+
+    Output columns (added): ``n_words`` (long), ``dup_word_frac``
+    (double, 1 - distinct/total, 0.0 for empty docs), ``n_bigrams``
+    (long), ``top_bigram_frac`` (double, occurrences of the most
+    frequent word bigram / total bigrams, 0.0 when < 2 words). Both
+    fractions rounded to 6 dp (oracle-hash parity).
+
+    Scale shape: the word-level stats are a pure projection (stay in
+    whole-stage codegen); the bigram mode needs explode →
+    groupBy(key, bigram) → groupBy(key) — two doc-keyed shuffles with
+    map-side partial aggregation, then one same-key join back. All
+    cardinality is O(total tokens); no skew beyond document length, so
+    a 100 TB corpus is bounded by its token count, not doc count.
+    """
+    words = F.filter(_tok(F.col(text_col)), lambda t: t != "")
+    base = (
+        df.withColumn("__words", words)
+        .withColumn("n_words", F.size("__words").cast("long"))
+        .withColumn(
+            "dup_word_frac",
+            F.when(
+                F.col("n_words") > 0,
+                F.round(
+                    F.lit(1.0)
+                    - F.size(F.array_distinct("__words")).cast("double")
+                    / F.col("n_words"),
+                    6,
+                ),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+    # bigram list: sequence() is descending for hi < lo, so guard the
+    # < 2-word case explicitly with an empty array
+    bigrams = F.when(
+        F.size("__words") >= 2,
+        F.expr(
+            "transform(sequence(1, size(__words) - 1), "
+            "i -> concat(element_at(__words, i), ' ', element_at(__words, i + 1)))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    per_bigram = (
+        base.select(F.col(key_col), F.explode(bigrams).alias("__bg"))
+        .groupBy(key_col, "__bg")
+        .count()
+    )
+    per_doc = per_bigram.groupBy(key_col).agg(
+        F.max("count").alias("__mx"), F.sum("count").alias("n_bigrams")
+    )
+    out = (
+        base.drop("__words")
+        .join(per_doc, key_col, "left")
+        .withColumn("n_bigrams", F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long"))
+        .withColumn(
+            "top_bigram_frac",
+            F.coalesce(
+                F.round(F.col("__mx").cast("double") / F.col("n_bigrams"), 6),
+                F.lit(0.0),
+            ),
+        )
+        .drop("__mx")
+    )
+    return out
+
+
 def fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
     """md5 + xxhash64 content fingerprints over normalized text."""
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))

@@ -432,3 +432,49 @@ def test_dedup_keep_canonical_only(spark):
     )
     # d3, d5 collapse into d1's cluster; d0/d2/d4 are untouched singletons
     assert kept == ["d0", "d1", "d2", "d4"]
+
+
+def test_repetition_stats(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "spam spam spam spam"),        # 1 distinct of 4; bigram "spam spam" x3
+            (1, "all words here are unique"),  # no repetition
+            (2, "one"),                        # < 2 words: no bigrams
+            (3, ""),                           # empty doc
+            (4, "go stop go stop go"),         # bigrams: "go stop" x2, "stop go" x2
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in textstats.repetition_stats(df).collect()}
+    assert rows[0]["n_words"] == 4
+    assert rows[0]["dup_word_frac"] == 0.75
+    assert rows[0]["n_bigrams"] == 3
+    assert rows[0]["top_bigram_frac"] == 1.0
+    assert rows[1]["dup_word_frac"] == 0.0
+    assert rows[1]["top_bigram_frac"] == 0.25  # 4 distinct bigrams, max count 1
+    assert rows[2] and rows[2]["n_bigrams"] == 0 and rows[2]["top_bigram_frac"] == 0.0
+    assert rows[3]["n_words"] == 0 and rows[3]["dup_word_frac"] == 0.0
+    assert rows[4]["dup_word_frac"] == 0.6
+    assert rows[4]["top_bigram_frac"] == 0.5
+
+
+def test_pii_scan_and_redact(spark):
+    from kryptone_spark.operators import pii
+
+    df = spark.createDataFrame(
+        [
+            (0, "mail bob.smith+x@corp.example or call 25-989-741-2988 from 10.0.0.7"),
+            (1, "nothing sensitive here, just 1.5 and v2.0.1 release notes"),
+            (2, "two mails: a@b.io c@d.org; national 415-555-0137"),
+        ],
+        "k long, text string",
+    )
+    out = {r["k"]: r for r in pii.pii_redact(pii.pii_scan(df)).collect()}
+    assert (out[0]["n_email"], out[0]["n_phone"], out[0]["n_ipv4"]) == (1, 1, 1)
+    assert out[0]["redacted"] == "mail <EMAIL> or call <PHONE> from <IP>"
+    assert (out[1]["n_email"], out[1]["n_phone"], out[1]["n_ipv4"]) == (0, 0, 0)
+    assert out[1]["redacted"] == out[1]["text"]
+    assert (out[2]["n_email"], out[2]["n_phone"], out[2]["n_ipv4"]) == (2, 1, 0)
+    # progressive counting: the email's digits must not double-count as
+    # phone/IP fragments once masked
+    assert out[2]["redacted"] == "two mails: <EMAIL> <EMAIL>; national <PHONE>"
