@@ -134,6 +134,23 @@ def politeness_audit_stream(
     )
 
 
+def dedup_results_stream(stream: DataFrame, key: str = "url") -> DataFrame:
+    """Streaming exact-dedup — the streaming face of the seen-set (J1).
+
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only until the
+    event-time watermark passes the key's first arrival, so state stays
+    bounded by (arrival rate x late-threshold) at any corpus size — a
+    plain streaming ``dropDuplicates`` would grow its state table
+    forever at 10^10 URLs. Re-delivered fetch results and duplicate
+    URLs inside the late-arrival horizon collapse to one row;
+    cross-horizon dedup is the batch seen anti-join's job
+    (operators/seen.py), which this feeds via ``run_visited_merge``.
+    The input must already carry a watermark (``fetch_results_stream``
+    sets one).
+    """
+    return stream.dropDuplicatesWithinWatermark([key])
+
+
 def run_visited_merge(
     stream: DataFrame, io: TableIO, checkpoint_dir: str, n_buckets: int = 64
 ):

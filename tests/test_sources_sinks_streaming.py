@@ -232,3 +232,45 @@ def test_load_start_urls_preserves_commas(spark, tmp_path):
     p.write_text("http://a.test/p?ids=1,2\n")
     got = [r["url"] for r in seeds.load_start_urls(spark, str(p)).collect()]
     assert got == ["http://a.test/p?ids=1,2"]
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicate URLs across micro-batches
+    (maxFilesPerTrigger=1 forces two) collapse to one row while their
+    event times sit inside the watermark horizon."""
+    from kryptone_spark.streaming import ingest
+
+    results = tmp_path / "results"
+    results.mkdir()
+    batch1 = [
+        {"url": "http://a.test/1", "fetch_ts": "2024-01-01T00:00:00.000Z", "status": 200, "n_links": 1},
+        {"url": "http://a.test/1", "fetch_ts": "2024-01-01T00:00:01.000Z", "status": 200, "n_links": 1},
+        {"url": "http://a.test/2", "fetch_ts": "2024-01-01T00:00:02.000Z", "status": 200, "n_links": 1},
+    ]
+    batch2 = [
+        # re-delivery of /1 in the next micro-batch, still in-horizon
+        {"url": "http://a.test/1", "fetch_ts": "2024-01-01T00:00:03.000Z", "status": 200, "n_links": 1},
+        {"url": "http://b.test/1", "fetch_ts": "2024-01-01T00:00:04.000Z", "status": 200, "n_links": 1},
+    ]
+    (results / "b1.json").write_text("\n".join(json.dumps(r) for r in batch1))
+    (results / "b2.json").write_text("\n".join(json.dumps(r) for r in batch2))
+
+    stream = (
+        spark.readStream.schema(ingest.FETCH_RESULT)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(results))
+        .withWatermark("fetch_ts", "10 minutes")
+    )
+    q = (
+        ingest.dedup_results_stream(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    urls = [r["url"] for r in spark.sql("select url from dedup_stream").collect()]
+    assert sorted(urls) == ["http://a.test/1", "http://a.test/2", "http://b.test/1"]
