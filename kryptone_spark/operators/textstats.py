@@ -96,10 +96,13 @@ def repetition_stats(
     frequent word bigram / total bigrams, 0.0 when < 2 words). Both
     fractions rounded to 6 dp (oracle-hash parity).
 
-    Scale shape: the word-level stats are a pure projection (stay in
-    whole-stage codegen); the bigram mode needs explode →
-    groupBy(key, bigram) → groupBy(key) — two doc-keyed shuffles with
-    map-side partial aggregation, then one same-key join back. All
+    Scale shape: ONE pass over the text — the word-level stats are
+    computed in the same projection that builds the bigram list, then
+    ``explode_outer`` (docs with < 2 words keep a null row, so no
+    join-back to recover them) feeds groupBy(key, bigram) →
+    groupBy(key): two doc-keyed shuffles with map-side partial
+    aggregation, zero joins, zero re-scans. The word stats ride the
+    shuffles as ``first()`` (functionally dependent on the key). All
     cardinality is O(total tokens); no skew beyond document length, so
     a 100 TB corpus is bounded by its token count, not doc count.
     """
@@ -129,28 +132,33 @@ def repetition_stats(
             "i -> concat(element_at(__words, i), ' ', element_at(__words, i + 1)))"
         ),
     ).otherwise(F.array().cast("array<string>"))
-    per_bigram = (
-        base.select(F.col(key_col), F.explode(bigrams).alias("__bg"))
-        .groupBy(key_col, "__bg")
-        .count()
+    carried = [c for c in base.columns if c != "__words"]
+    exploded = base.select(*carried, F.explode_outer(bigrams).alias("__bg"))
+    # count(__bg) skips the null row explode_outer keeps for short docs,
+    # so their max/sum collapse to 0 → top_bigram_frac coalesces to 0.0
+    per_bigram = exploded.groupBy(key_col, "__bg").agg(
+        F.count("__bg").alias("__c"),
+        *[F.first(c).alias(c) for c in carried if c != key_col],
     )
     per_doc = per_bigram.groupBy(key_col).agg(
-        F.max("count").alias("__mx"), F.sum("count").alias("n_bigrams")
+        F.max("__c").alias("__mx"),
+        F.sum("__c").alias("n_bigrams"),
+        *[F.first(c).alias(c) for c in carried if c != key_col],
     )
     out = (
-        base.drop("__words")
-        .join(per_doc, key_col, "left")
-        .withColumn("n_bigrams", F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long"))
+        per_doc.withColumn("n_bigrams", F.col("n_bigrams").cast("long"))
         .withColumn(
             "top_bigram_frac",
-            F.coalesce(
+            # explicit n_bigrams > 0 guard: 0/0 double division is NaN
+            # (not null), which coalesce would pass through
+            F.when(
+                F.col("n_bigrams") > 0,
                 F.round(F.col("__mx").cast("double") / F.col("n_bigrams"), 6),
-                F.lit(0.0),
-            ),
+            ).otherwise(F.lit(0.0)),
         )
         .drop("__mx")
     )
-    return out
+    return out.select(*carried, "n_bigrams", "top_bigram_frac")
 
 
 def fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
