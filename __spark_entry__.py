@@ -532,6 +532,22 @@ def q_docs_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("c_custkey", "n_email", "n_phone", "n_ipv4", "redacted")
 
 
+def q_docs_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every doc whose positional 8-grams
+    collide with a synthetic benchmark set (the first 120 chars of
+    every 50th document) is flagged. The benchmark side is broadcast —
+    the corpus never shuffles on gram."""
+    from kryptone_spark.operators import decontam
+
+    docs = _load(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 50 == 0).select(
+        F.substring("text", 1, 120).alias("text")
+    )
+    return decontam.contamination(docs, bench, n=8).select(
+        "doc_id", "n_grams", "n_contam_ngrams", "contaminated"
+    )
+
+
 def q_docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kryptone_spark.operators import textstats
 
@@ -1117,6 +1133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_fingerprint": q_docs_fingerprint,
         "docs_repetition": q_docs_repetition,
         "docs_pii": q_docs_pii,
+        "docs_decontam": q_docs_decontam,
         "docs_wordfreq_topk": q_docs_wordfreq_topk,
         "docs_tfidf": q_docs_tfidf,
         "emb_cosine_topk": q_emb_cosine_topk,
@@ -1620,6 +1637,47 @@ def oracle_sql() -> dict[str, str]:
                      '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
                      '<IP>', 'g') AS redacted
             FROM s2
+        """,
+        "docs_decontam": """
+            WITH tok AS (
+              SELECT doc_id,
+                     list_filter(
+                       string_split_regex(
+                         regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'),
+                       t -> t <> '') AS toks
+              FROM documents),
+            grams AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) >= 8
+                          THEN list_transform(
+                                 generate_series(1, len(toks) - 7),
+                                 i -> array_to_string(toks[i : i + 7], ' '))
+                          ELSE CAST([] AS VARCHAR[]) END AS glist
+              FROM tok),
+            btok AS (
+              SELECT list_filter(
+                       string_split_regex(
+                         regexp_replace(lower(substr(text, 1, 120)), '[^a-z0-9 ]', ' ', 'g'), ' +'),
+                       t -> t <> '') AS toks
+              FROM documents WHERE doc_id % 50 = 0),
+            bgrams AS (
+              SELECT DISTINCT unnest(
+                       CASE WHEN len(toks) >= 8
+                            THEN list_transform(
+                                   generate_series(1, len(toks) - 7),
+                                   i -> array_to_string(toks[i : i + 7], ' '))
+                            ELSE CAST([] AS VARCHAR[]) END) AS gram
+              FROM btok),
+            dg AS (SELECT doc_id, unnest(glist) AS gram FROM grams),
+            hits AS (
+              SELECT dg.doc_id, count(*) AS n_hit
+              FROM dg JOIN bgrams USING (gram)
+              GROUP BY dg.doc_id)
+            SELECT g.doc_id,
+                   len(g.glist)::BIGINT AS n_grams,
+                   coalesce(h.n_hit, 0)::BIGINT AS n_contam_ngrams,
+                   coalesce(h.n_hit, 0) > 0 AS contaminated
+            FROM grams g LEFT JOIN hits h USING (doc_id)
         """,
         "docs_wordfreq_topk": """
             WITH t AS (

@@ -478,3 +478,26 @@ def test_pii_scan_and_redact(spark):
     # progressive counting: the email's digits must not double-count as
     # phone/IP fragments once masked
     assert out[2]["redacted"] == "two mails: <EMAIL> <EMAIL>; national <PHONE>"
+
+
+def test_contamination(spark):
+    from kryptone_spark.operators import decontam
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog tonight"),
+            (1, "a totally different document with no overlap at all here"),
+            (2, "prefix words then the quick brown fox jumps over more text"),
+            (3, "tiny doc"),  # < n tokens: zero grams, clean
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [("benchmark says the quick brown fox jumps over it",)], "text string"
+    )
+    out = {r["doc_id"]: r for r in decontam.contamination(docs, bench, n=6).collect()}
+    assert len(out) == 4  # every doc gets a verdict, short ones included
+    assert out[0]["contaminated"] and out[0]["n_contam_ngrams"] >= 1
+    assert not out[1]["contaminated"] and out[1]["n_contam_ngrams"] == 0
+    assert out[2]["contaminated"]  # shared 6-gram mid-document
+    assert out[3]["n_grams"] == 0 and not out[3]["contaminated"]
