@@ -548,6 +548,17 @@ def q_docs_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality scoring (CCNet-style perplexity proxy):
+    vocab_size=16 on purpose so the OOV path is exercised by the
+    corpus (its distinct-token count exceeds 16)."""
+    from kryptone_spark.operators import textstats
+
+    return textstats.unigram_lm_scores(
+        _load(spark, sf_dir, "documents"), vocab_size=16
+    ).select("doc_id", "n_toks", "mean_logprob")
+
+
 def q_docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kryptone_spark.operators import textstats
 
@@ -1134,6 +1145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_repetition": q_docs_repetition,
         "docs_pii": q_docs_pii,
         "docs_decontam": q_docs_decontam,
+        "docs_lm_score": q_docs_lm_score,
         "docs_wordfreq_topk": q_docs_wordfreq_topk,
         "docs_tfidf": q_docs_tfidf,
         "emb_cosine_topk": q_emb_cosine_topk,
@@ -1678,6 +1690,34 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(h.n_hit, 0)::BIGINT AS n_contam_ngrams,
                    coalesce(h.n_hit, 0) > 0 AS contaminated
             FROM grams g LEFT JOIN hits h USING (doc_id)
+        """,
+        "docs_lm_score": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(
+                       string_split_regex(
+                         regexp_replace(lower(text), '[^a-z0-9一-鿿 ]', ' ', 'g'), ' +'),
+                       t -> t <> '')) AS tok
+              FROM documents),
+            c AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+            tot AS (SELECT sum(c)::DOUBLE AS n FROM c),
+            vocab AS (
+              SELECT tok, ln((c + 0.5) / (n + 8.5)) AS logp
+              FROM (SELECT tok, c,
+                           row_number() OVER (ORDER BY c DESC, tok) AS rk
+                    FROM c), tot
+              WHERE rk <= 16),
+            scored AS (
+              SELECT t.doc_id,
+                     coalesce(v.logp, (SELECT ln(0.5 / (n + 8.5)) FROM tot)) AS lp
+              FROM toks t LEFT JOIN vocab v USING (tok)),
+            agg AS (
+              SELECT doc_id, count(*) AS n_toks, avg(lp) AS m
+              FROM scored GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(a.n_toks, 0)::BIGINT AS n_toks,
+                   round(coalesce(a.m, 0.0), 6) AS mean_logprob
+            FROM documents d LEFT JOIN agg a USING (doc_id)
         """,
         "docs_wordfreq_topk": """
             WITH t AS (

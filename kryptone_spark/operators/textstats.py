@@ -161,6 +161,74 @@ def repetition_stats(
     return out.select(*carried, "n_bigrams", "top_bigram_frac")
 
 
+def unigram_lm_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    vocab_size: int = 50_000,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Perplexity-proxy quality filter: per-doc mean token log-prob
+    under the corpus's OWN add-alpha-smoothed unigram LM (the cheap,
+    model-free stand-in for a KenLM pass — CCNet-style, public method).
+
+    logp(tok) = ln((c(tok) + a) / (N + a*(V+1))) for the top-``V``
+    vocabulary (count desc, token asc tie-break); every out-of-vocab
+    token scores ln(a / (N + a*(V+1))). Low mean-logp = gibberish or
+    boilerplate-rare tokens; high = stereotypical text.
+
+    Returns (key_col, n_toks, mean_logprob) — doc-level only, so the
+    text column never rides a shuffle; mean rounded to 6 dp, 0.0 for
+    empty docs.
+
+    Scale shape: pass 1 builds the vocab — one token-keyed count
+    (map-side partial agg) + TakeOrderedAndProject top-V + a broadcast
+    1-row total (never collected to Python); pass 2 scores — one corpus
+    scan, explode_outer, broadcast join to the V-row vocab, one
+    doc-keyed agg. No shuffle ever carries more than (key, token).
+    """
+    from kryptone_spark.functions.rank import ranked_top_k
+
+    toks = F.filter(_tok(F.col(text_col)), lambda t: t != "")
+    exploded = df.select(F.col(key_col), F.explode_outer(toks).alias("__tok"))
+    counts = (
+        exploded.where(F.col("__tok").isNotNull())
+        .groupBy("__tok")
+        .agg(F.count("*").alias("__c"))
+    )
+    total = counts.agg(F.sum("__c").cast("double").alias("__n"))
+    vocab = (
+        ranked_top_k(counts, [F.desc("__c"), F.asc("__tok")], k=vocab_size)
+        .drop("rnk")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "__tok",
+            F.log((F.col("__c") + alpha) / (F.col("__n") + alpha * (vocab_size + 1))).alias("__logp"),
+        )
+    )
+    oov = total.select(
+        F.log(F.lit(alpha) / (F.col("__n") + alpha * (vocab_size + 1))).alias("__oov")
+    )
+    scored = (
+        exploded.join(F.broadcast(vocab), "__tok", "left")
+        .crossJoin(F.broadcast(oov))
+        .withColumn(
+            "__lp",
+            F.when(
+                F.col("__tok").isNotNull(),
+                F.coalesce(F.col("__logp"), F.col("__oov")),
+            ),
+        )
+    )
+    return (
+        scored.groupBy(key_col)
+        .agg(
+            F.count("__tok").cast("long").alias("n_toks"),
+            F.round(F.coalesce(F.avg("__lp"), F.lit(0.0)), 6).alias("mean_logprob"),
+        )
+    )
+
+
 def fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
     """md5 + xxhash64 content fingerprints over normalized text."""
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))

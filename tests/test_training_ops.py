@@ -501,3 +501,28 @@ def test_contamination(spark):
     assert not out[1]["contaminated"] and out[1]["n_contam_ngrams"] == 0
     assert out[2]["contaminated"]  # shared 6-gram mid-document
     assert out[3]["n_grams"] == 0 and not out[3]["contaminated"]
+
+
+def test_unigram_lm_scores(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [
+            (0, "common common common words"),
+            (1, "common words"),
+            (2, "zzz qqq"),   # all-OOV under a tiny vocab
+            (3, ""),          # empty doc
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in textstats.unigram_lm_scores(df, vocab_size=2).collect()}
+    # corpus: common x4, words x2, zzz x1, qqq x1 → N=8, vocab={common, words}
+    denom = 8 + 0.5 * 3
+    lp = lambda c: math.log((c + 0.5) / denom)
+    oov = math.log(0.5 / denom)
+    assert out[0]["n_toks"] == 4
+    assert abs(out[0]["mean_logprob"] - round((3 * lp(4) + lp(2)) / 4, 6)) < 1e-6
+    assert abs(out[2]["mean_logprob"] - round(oov, 6)) < 1e-6
+    assert out[3]["n_toks"] == 0 and out[3]["mean_logprob"] == 0.0
+    # the common-word doc must outscore the gibberish doc
+    assert out[0]["mean_logprob"] > out[2]["mean_logprob"]
