@@ -679,6 +679,33 @@ def q_doc_spans_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_spans_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved-span integrity audit over the input_hint shape, with
+    deterministic corruption so both verdicts fire: every 7th doc gets
+    a non-monotonic first offset, every 11th an empty image media_ref.
+    The oracle states the closed-form expected audit per doc_id."""
+    from kryptone_spark.operators import extract
+
+    docs = _interleaved_docs(spark, sf_dir)
+    did = F.col("doc_id").cast("long")
+    corrupted = docs.select(
+        "doc_id",
+        F.transform(
+            F.col("spans"),
+            lambda sp, i: F.struct(
+                sp["kind"].alias("kind"),
+                sp["text"].alias("text"),
+                F.when(
+                    (did % 11 == 0) & (sp["kind"] == "image"), F.lit("")
+                ).otherwise(sp["media_ref"]).alias("media_ref"),
+                F.when((did % 7 == 0) & (i == 0), F.lit(3))
+                .otherwise(sp["offset"]).cast("int").alias("offset"),
+            ),
+        ).alias("spans"),
+    )
+    return extract.span_audit(corrupted)
+
+
 def q_seo_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SEO page-audit flags (contrib/seo.py:431-529) over deterministic
     interleaved pages synthesized from the documents table: head title
@@ -1151,6 +1178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_label_norms": q_emb_label_norms,
         "doc_spans_extract": q_doc_spans_extract,
+        "spans_audit": q_spans_audit,
         "seo_audit": q_seo_audit,
         "docs_stemmed_topk": q_docs_stemmed_topk,
         "product_models": q_product_models,
@@ -1718,6 +1746,21 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(a.n_toks, 0)::BIGINT AS n_toks,
                    round(coalesce(a.m, 0.0), 6) AS mean_logprob
             FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
+        "spans_audit": """
+            -- closed-form expected audit: the interleaved synthesis is
+            -- deterministic (5 spans, offsets 0..4), the query corrupts
+            -- every 7th doc's first offset (→ non-monotonic) and every
+            -- 11th doc's image media_ref (→ coverage fail)
+            SELECT doc_id::VARCHAR AS doc_id,
+                   5::INTEGER AS n_spans,
+                   2::INTEGER AS n_text,
+                   1::INTEGER AS n_links,
+                   1::INTEGER AS n_images,
+                   (doc_id % 7 <> 0) AS offsets_monotonic,
+                   (doc_id % 11 <> 0) AS media_ref_ok,
+                   (length(substr(text, 1, 40)) + length(substr(text, 41, 40)))::INTEGER AS text_chars
+            FROM documents
         """,
         "docs_wordfreq_topk": """
             WITH t AS (

@@ -138,3 +138,41 @@ def url_distribution(edges: DataFrame) -> DataFrame:
         F.sort_array(F.collect_list("dst_url")).alias("out_links"),
         F.count("*").alias("n_links"),
     )
+
+
+def span_audit(documents: DataFrame, spans_col: str = "spans") -> DataFrame:
+    """Interleaved-document integrity audit over the north-rule input
+    shape (doc_id, spans:array<struct<kind,text,media_ref,offset>>).
+
+    Ingest-side data validation for a 100 TB corpus of interleaved
+    text+media: per-doc span counts, strict offset monotonicity
+    (sorted AND all-distinct — the portable formulation both Spark and
+    the SQL oracle state identically), media_ref coverage for
+    link/image spans, and total text payload. One pure-HOF projection:
+    no explode, no shuffle, scan-bound.
+    """
+    s = F.col(spans_col)
+    offs = F.transform(s, lambda sp: sp["offset"])
+    kind_count = lambda k: F.size(F.filter(s, lambda sp: sp["kind"] == k))
+    bad_refs = F.filter(
+        s,
+        lambda sp: sp["kind"].isin("link", "image") & (sp["media_ref"] == ""),
+    )
+    text_chars = F.aggregate(
+        F.filter(s, lambda sp: sp["kind"] == "text"),
+        F.lit(0),
+        lambda acc, sp: acc + F.length(sp["text"]),
+    )
+    return documents.select(
+        "doc_id",
+        F.size(s).alias("n_spans"),
+        kind_count("text").alias("n_text"),
+        kind_count("link").alias("n_links"),
+        kind_count("image").alias("n_images"),
+        (
+            (F.sort_array(offs) == offs)
+            & (F.size(F.array_distinct(offs)) == F.size(offs))
+        ).alias("offsets_monotonic"),
+        (F.size(bad_refs) == 0).alias("media_ref_ok"),
+        text_chars.alias("text_chars"),
+    )

@@ -247,3 +247,34 @@ def test_apply_cleaners_single_projection(spark):
 
     with pytest.raises(ValueError, match="not in DataFrame"):
         apply_cleaners(df, {"missing": F.lit(1)})
+
+
+def test_span_audit(spark):
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("spans", T.ArrayType(T.StructType([
+            T.StructField("kind", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("media_ref", T.StringType()),
+            T.StructField("offset", T.IntegerType()),
+        ]))),
+    ])
+    rows = [
+        ("ok", [("text", "hello", "", 0), ("image", "alt", "ref.jpg", 1), ("text", "bye", "", 2)]),
+        ("bad_order", [("text", "a", "", 2), ("link", "x", "u", 1)]),
+        ("dup_offset", [("text", "a", "", 0), ("text", "b", "", 0)]),
+        ("no_ref", [("image", "alt", "", 0)]),
+        ("empty", []),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    got = {r["doc_id"]: r for r in extract.span_audit(df).collect()}
+    assert got["ok"]["offsets_monotonic"] and got["ok"]["media_ref_ok"]
+    assert got["ok"]["n_text"] == 2 and got["ok"]["n_images"] == 1
+    assert got["ok"]["text_chars"] == 8
+    assert not got["bad_order"]["offsets_monotonic"]
+    assert not got["dup_offset"]["offsets_monotonic"]
+    assert not got["no_ref"]["media_ref_ok"]
+    assert got["empty"]["n_spans"] == 0 and got["empty"]["offsets_monotonic"]
+    assert got["empty"]["media_ref_ok"] and got["empty"]["text_chars"] == 0
