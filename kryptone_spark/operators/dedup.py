@@ -149,9 +149,26 @@ def ngram_jaccard_pairs(
     shingle set — the same treatment minhash_lsh_pairs gives hot
     buckets via max_bucket_size: template noise carries no
     near-duplication signal). At 100 TB this cap is mandatory; LSH
-    prefiltering (minhash_lsh_pairs) bounds the candidate set further."""
-    toks = normalized_tokens(df, text_col).groupBy("doc_id").agg(
-        F.array_sort(F.collect_list("tok")).alias("toks")
+    prefiltering (minhash_lsh_pairs) bounds the candidate set further.
+
+    r2: the per-doc sorted distinct token array is built IN-ROW
+    (array_sort(array_distinct(split))) — value-identical to the old
+    normalized_tokens().distinct() + collect_list path but with zero
+    shuffles where that path paid two (the (doc_id, tok) dedup exchange
+    and the collect_list regroup)."""
+    toks = df.select(
+        "doc_id",
+        F.array_sort(
+            F.array_distinct(
+                F.filter(
+                    F.split(
+                        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", " "),
+                        " +",
+                    ),
+                    lambda t: t != "",
+                )
+            )
+        ).alias("toks"),
     )
     # n-grams over the doc's sorted distinct tokens — deterministic and
     # SQL-reproducible (set semantics, not positional shingles). Docs
@@ -171,7 +188,10 @@ def ngram_jaccard_pairs(
             ).alias("gram"),
         )
         .where(F.length("gram") > 0)
-        .distinct()
+        # no .distinct(): windows over a strictly-increasing (sorted
+        # array_distinct) token array can never repeat — window j > i
+        # starts with a strictly greater token — so the dedup exchange
+        # it cost was a no-op by construction
     )
     if max_shingle_df is not None:
         keep = (
