@@ -39,6 +39,18 @@ def normalized_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _distinct_token_array(text_col: str) -> F.Column:
+    """Per-row distinct token array (lowercase, alnum-only) — the
+    shuffle-free form of ``normalized_tokens().distinct()``: identical
+    token set, built in the projection instead of a cluster-wide
+    (doc_id, tok) dedup exchange. Sorted-order consumers wrap it in
+    array_sort; exploded consumers get the same rows the old path
+    shuffled for."""
+    return F.array_distinct(
+        F.split(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", " "), " +")
+    )
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Exact duplicate groups on whitespace-normalized text. Scale: one
     shuffle on a 32-hex key; at 100 TB this is the cheapest possible
@@ -69,10 +81,9 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", k: int = MINHASH_K
     Measured 1.46x at sf0.1 locally; at 100 TB the removed shuffle is
     the corpus's whole tokenized volume. The md5 chain stays inside
     whole-stage codegen (explode + hash + partial-min)."""
-    toks = F.array_distinct(
-        F.split(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", " "), " +")
-    )
-    t = df.select("doc_id", F.explode(toks).alias("tok")).where(F.col("tok") != "")
+    t = df.select(
+        "doc_id", F.explode(_distinct_token_array(text_col)).alias("tok")
+    ).where(F.col("tok") != "")
     aggs = [
         F.min(F.md5(F.concat(F.col("tok"), F.lit(f"#{i}")))).alias(f"sig{i}")
         for i in range(k)
@@ -159,15 +170,7 @@ def ngram_jaccard_pairs(
     toks = df.select(
         "doc_id",
         F.array_sort(
-            F.array_distinct(
-                F.filter(
-                    F.split(
-                        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", " "),
-                        " +",
-                    ),
-                    lambda t: t != "",
-                )
-            )
+            F.array_remove(_distinct_token_array(text_col), "")
         ).alias("toks"),
     )
     # n-grams over the doc's sorted distinct tokens — deterministic and
@@ -239,7 +242,9 @@ def simhash64(df: DataFrame, text_col: str = "text", bits: int = 16) -> DataFram
     2^63 ≡ LONG_MIN can never overflow a two's-complement sum)."""
     if not 1 <= bits <= 64:
         raise ValueError(f"bits must be in 1..64, got {bits}")
-    toks = normalized_tokens(df, text_col)
+    toks = df.select(
+        "doc_id", F.explode(_distinct_token_array(text_col)).alias("tok")
+    ).where(F.col("tok") != "")
     pos = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j")
     if bits <= 60:
         toks = toks.withColumn(
