@@ -979,6 +979,43 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_media(media).orderBy("media_id")
 
 
+def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact media dedup over binary blobs (content-hash groups). The
+    fake-codec bytes are deterministic functions of i, so the duplicate
+    classes (image dims i%5, audio params i%4) are closed-form — the
+    oracle restates the expected groups without rebuilding the bytes;
+    the Spark side genuinely hashes the binary column."""
+    from kryptone_spark.operators import multimodal
+
+    rows = []
+    for i in range(64):
+        if i % 3 == 0:
+            rows.append((f"img{i}", "image", multimodal.make_fake_image(100 + i % 5, 50), {}))
+        elif i % 3 == 1:
+            rows.append((f"aud{i}", "audio", multimodal.make_fake_audio(8000 + i % 4, 500), {}))
+        else:
+            rows.append((f"vid{i}", "video", None, {}))
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    return multimodal.media_dedup(media).select("group_size", "keep_media_id")
+
+
+def q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding quantization (the ANN memory lever): per-vector
+    symmetric scale, quantized array pipe-serialized for the driver's
+    pandas canon."""
+    from kryptone_spark.operators import simsearch
+
+    emb = _load(spark, sf_dir, "embeddings")
+    out = simsearch.quantize_embeddings(emb)
+    return out.select(
+        "vec_id",
+        "q_scale",
+        F.array_join(
+            F.transform(F.col("q_embedding"), lambda v: v.cast("string")), "|"
+        ).alias("q_emb"),
+    )
+
+
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A11 approx_count_distinct (sketch — engine-specific estimate)."""
     ev = _load(spark, sf_dir, "events")
@@ -1196,6 +1233,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_nation": q_revenue_by_nation,
         "crawl_flagship": q_crawl_flagship,
         "media_decode": q_media_decode,
+        "media_dedup": q_media_dedup,
+        "emb_quantize": q_emb_quantize,
         "approx_distinct": q_approx_distinct,
     }
 
@@ -1951,6 +1990,32 @@ def oracle_sql() -> dict[str, str]:
               i % 3 IN (0, 1) AS ok
             FROM generate_series(0, 63) t(i)
             ORDER BY media_id
+        """,
+        "media_dedup": """
+            -- the blobs are deterministic in i (image dims = i % 5,
+            -- audio params = i % 4), so the duplicate-group structure
+            -- is closed-form; videos carry NULL data and are excluded
+            WITH m AS (
+              SELECT i,
+                     CASE WHEN i % 3 = 0 THEN 'img' || i ELSE 'aud' || i END AS media_id,
+                     CASE WHEN i % 3 = 0 THEN 'I' || (i % 5) ELSE 'A' || (i % 4) END AS cls
+              FROM generate_series(0, 63) t(i)
+              WHERE i % 3 IN (0, 1))
+            SELECT count(*)::BIGINT AS group_size, min(media_id) AS keep_media_id
+            FROM m GROUP BY cls
+            HAVING count(*) > 1
+        """,
+        "emb_quantize": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+            m AS (SELECT vec_id, x,
+                         list_max(list_transform(x, v -> abs(v))) AS mx
+                  FROM e)
+            SELECT vec_id,
+                   CASE WHEN mx > 0 THEN round(mx / 127.0, 8) ELSE 0.0 END AS q_scale,
+                   CASE WHEN mx > 0
+                        THEN array_to_string(list_transform(x, v -> round(v * 127.0 / mx)::INTEGER), '|')
+                        ELSE array_to_string(list_transform(x, v -> 0), '|') END AS q_emb
+            FROM m
         """,
         "route_dispatch": f"""
             WITH {URLS_CTE.strip()}

@@ -173,3 +173,23 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "ts_ms"])
 
     return media.where("kind = 'video'").mapInPandas(_sample, schema=FRAMES_SCHEMA)
+
+
+def media_dedup(media: DataFrame, data_col: str = "data") -> DataFrame:
+    """Exact media dedup: duplicate-blob groups by content hash — the
+    binary-column face of dedup.exact_dedup (a 100 TB interleaved
+    corpus carries the same image under many URLs). NULL blobs
+    (metadata-only rows) are excluded. One shuffle on a 32-hex key with
+    map-side partial agg; blobs themselves never shuffle."""
+    from pyspark.sql import functions as F
+
+    return (
+        media.where(F.col(data_col).isNotNull())
+        .select(F.md5(F.col(data_col)).alias("content_hash"), "media_id")
+        .groupBy("content_hash")
+        .agg(
+            F.count("*").alias("group_size"),
+            F.min("media_id").alias("keep_media_id"),
+        )
+        .where(F.col("group_size") > 1)
+    )

@@ -526,3 +526,37 @@ def test_unigram_lm_scores(spark):
     assert out[3]["n_toks"] == 0 and out[3]["mean_logprob"] == 0.0
     # the common-word doc must outscore the gibberish doc
     assert out[0]["mean_logprob"] > out[2]["mean_logprob"]
+
+
+def test_media_dedup(spark):
+    rows = [
+        ("a", "image", multimodal.make_fake_image(10, 10), {}),
+        ("b", "image", multimodal.make_fake_image(10, 10), {}),   # dup of a
+        ("c", "image", multimodal.make_fake_image(11, 10), {}),   # unique
+        ("d", "video", None, {}),                                 # null blob: excluded
+        ("e", "audio", multimodal.make_fake_audio(8000, 5), {}),
+        ("f", "audio", multimodal.make_fake_audio(8000, 5), {}),  # dup of e
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = {r["keep_media_id"]: r["group_size"] for r in multimodal.media_dedup(media).collect()}
+    assert got == {"a": 2, "e": 2}
+
+
+def test_quantize_embeddings_roundtrip(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [(0, [1.0, -0.5, 0.25, 0.0]), (1, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["vec_id"]: r for r in simsearch.quantize_embeddings(df).collect()}
+    assert out[0]["q_embedding"] == [127, -64, 32, 0]
+    assert abs(out[0]["q_scale"] - 1.0 / 127.0) < 1e-8
+    assert out[1]["q_embedding"] == [0, 0, 0, 0] and out[1]["q_scale"] == 0.0
+    # dequantized cosine stays within 1e-2 of the original
+    a = [1.0, -0.5, 0.25, 0.0]
+    deq = [q * out[0]["q_scale"] for q in out[0]["q_embedding"]]
+    dot = sum(x * y for x, y in zip(a, deq))
+    na = math.sqrt(sum(x * x for x in a))
+    nd = math.sqrt(sum(x * x for x in deq))
+    assert abs(dot / (na * nd) - 1.0) < 1e-2
