@@ -1041,6 +1041,45 @@ def q_route_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return urls.select("k", "url", route.alias("route"))
 
 
+def q_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar robots.txt parsing: raw bodies synthesized from nation
+    rows (three shapes: a '*' section with rules + crawl-delay, a
+    foreign-agent-only body, an allow-all '*' section; one class uses
+    CRLF endings), genuinely string-parsed by parse_robots_txt. The
+    oracle restates the closed-form parse per class."""
+    from kryptone_spark.operators import schedule
+
+    n = _load(spark, sf_dir, "nation")
+    key = F.col("n_nationkey")
+    body = (
+        F.when(
+            key % 3 == 0,
+            F.concat(
+                F.lit("User-agent: googlebot\nDisallow: /secret\n\nUser-agent: *\nDisallow: /img/\nDisallow: /n"),
+                key.cast("string"),
+                F.lit("/\nCrawl-delay: "),
+                (key % 5 + 2).cast("string"),
+                F.lit("\nUser-agent: other\nDisallow: /x\n"),
+            ),
+        )
+        .when(
+            key % 3 == 1,
+            F.lit("User-agent: googlebot\r\nDisallow: /private\r\nCrawl-delay: 9\r\n"),
+        )
+        .otherwise(F.lit("User-agent: *\r\nDisallow:\r\n"))
+    )
+    raw = n.select(
+        F.concat(F.lit("nation"), key.cast("string"), F.lit(".test")).alias("domain"),
+        body.alias("robots_txt"),
+    )
+    out = schedule.parse_robots_txt(raw)
+    return out.select(
+        "domain",
+        F.array_join("disallow", "|").alias("disallow"),
+        F.col("crawl_delay").cast("double").alias("crawl_delay"),
+    )
+
+
 def q_robots_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J6 robots enforcement: broadcast join of the pending frontier
     against the per-domain robots dim (disallow prefixes + crawl-delay
@@ -1224,6 +1263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ivf_ann": q_emb_ivf_ann,
         "url_canonicalize": q_url_canonicalize,
         "route_dispatch": q_route_dispatch,
+        "robots_parse": q_robots_parse,
         "robots_join": q_robots_join,
         "url_distribution": q_url_distribution,
         "doc_emails": q_doc_emails,
@@ -2029,6 +2069,19 @@ def oracle_sql() -> dict[str, str]:
                      ELSE 'other'
                    END AS route
             FROM urls
+        """,
+        "robots_parse": """
+            -- closed-form expected parse per synthesis class:
+            -- %3=0: '*' section with /img/ + /n<k>/ and crawl-delay 2+k%5
+            -- %3=1: googlebot-only body → no rules for '*'
+            -- %3=2: allow-all '*' section (empty Disallow dropped)
+            SELECT 'nation' || n_nationkey || '.test' AS domain,
+                   CASE WHEN n_nationkey % 3 = 0
+                        THEN '/img/|/n' || n_nationkey || '/'
+                        ELSE '' END AS disallow,
+                   CASE WHEN n_nationkey % 3 = 0
+                        THEN (n_nationkey % 5 + 2)::DOUBLE END AS crawl_delay
+            FROM nation
         """,
         "robots_join": f"""
             WITH {URLS_CTE.strip()},

@@ -142,3 +142,55 @@ def wave_duration(batch: DataFrame) -> float:
         F.max(F.col("rank_in_domain") * F.col("crawl_delay")).alias("d")
     ).collect()[0]
     return float(row["d"] or 0.0)
+
+
+def parse_robots_txt(
+    df: DataFrame,
+    domain_col: str = "domain",
+    text_col: str = "robots_txt",
+    agent: str = "*",
+) -> DataFrame:
+    """Columnar robots.txt parser: raw fetched robots bodies →
+    (domain, disallow array<string>, crawl_delay double) — the shape
+    ``with_robots`` broadcasts. Completes the politeness pipeline end
+    to end: fetch robots.txt once per domain, parse it AS DATA, join it
+    against every wave.
+
+    Parsing is section-scoped: split the body on 'User-agent:', keep
+    the first section whose agent line matches ``agent`` exactly, then
+    pull its Disallow values and Crawl-delay. Everything is
+    split/filter/transform — deliberately NO regex lookarounds, so a
+    SQL oracle (RE2) states the identical computation. One projection,
+    no shuffle, no Python: parsing 10^7 robots bodies is a scan.
+
+    Scope (documented subset of the RFC): exact-match agent sections
+    (no prefix matching or specificity ranking), Disallow prefix rules
+    and Crawl-delay only (no Allow precedence, wildcards, or
+    Sitemap) — the subset ``with_robots`` enforces.
+    """
+    s = F.col(text_col)
+    # normalize line endings; sections[0] is the pre-amble before the
+    # first User-agent and never matches an agent line
+    sections = F.split(F.regexp_replace(s, "\r\n", "\n"), "User-agent:")
+    target = F.filter(
+        sections,
+        lambda sec: F.trim(F.element_at(F.split(sec, "\n"), 1)) == agent,
+    )
+    # first matching section (RFC: groups may repeat; we take the first)
+    body = F.when(F.size(target) > 0, F.element_at(target, 1)).otherwise(F.lit(""))
+    lines = F.transform(F.split(body, "\n"), lambda ln: F.trim(ln))
+    directive = lambda name: F.transform(
+        F.filter(lines, lambda ln: ln.startswith(name + ":")),
+        lambda ln: F.trim(F.substring(ln, len(name) + 2, 100000)),
+    )
+    disallow = F.filter(directive("Disallow"), lambda v: v != "")
+    delay_vals = directive("Crawl-delay")
+    crawl_delay = F.when(
+        F.size(delay_vals) > 0,
+        F.element_at(delay_vals, 1).try_cast("double"),
+    )
+    return df.select(
+        F.col(domain_col).alias("domain"),
+        disallow.alias("disallow"),
+        crawl_delay.alias("crawl_delay"),
+    )

@@ -235,3 +235,45 @@ def test_lineage_filter_cardinality(spark, site, tmp_path):
     # the configured filters actually fired somewhere in the crawl
     assert totals["ignore_test"] > 0  # /customer/ gather-ignore
     assert totals["seen"] > 0
+
+
+def test_parse_robots_txt(spark):
+    """Raw robots bodies → the (domain, disallow, crawl_delay) dim that
+    with_robots broadcasts; section scoping, CRLF, empty-Disallow drop,
+    and non-numeric Crawl-delay are all exercised."""
+    from kryptone_spark.operators import schedule
+
+    body = (
+        "User-agent: googlebot\nDisallow: /private\nCrawl-delay: 7\n\n"
+        "User-agent: *\nDisallow: /img/\nDisallow: /tmp/\nDisallow:\n"
+        "Crawl-delay: 3.5\nUser-agent: other\nDisallow: /x\n"
+    )
+    df = spark.createDataFrame(
+        [
+            ("a.test", body),
+            ("b.test", "not a robots file at all"),
+            ("c.test", "User-agent: *\r\nDisallow: /only\r\nCrawl-delay: fast\r\n"),
+        ],
+        "domain string, robots_txt string",
+    )
+    got = {r["domain"]: r for r in schedule.parse_robots_txt(df).collect()}
+    assert got["a.test"]["disallow"] == ["/img/", "/tmp/"]  # scoped to '*', empty rule dropped
+    assert got["a.test"]["crawl_delay"] == 3.5
+    assert got["b.test"]["disallow"] == [] and got["b.test"]["crawl_delay"] is None
+    assert got["c.test"]["disallow"] == ["/only"]
+    assert got["c.test"]["crawl_delay"] is None  # try_cast of garbage, ANSI-safe
+
+    # the parsed dim drives enforcement end-to-end
+    from kryptone_spark.config import CrawlConfig
+
+    pending = spark.createDataFrame(
+        [("http://a.test/img/x.jpg", "a.test"), ("http://a.test/page", "a.test")],
+        "url string, domain string",
+    )
+    out = schedule.with_robots(
+        pending, schedule.parse_robots_txt(df), CrawlConfig(wait_time=9.0)
+    )
+    rows = {r["url"]: r for r in out.collect()}
+    assert rows["http://a.test/img/x.jpg"]["robots_blocked"]
+    assert not rows["http://a.test/page"]["robots_blocked"]
+    assert rows["http://a.test/page"]["crawl_delay"] == 3.5
