@@ -1041,6 +1041,35 @@ def q_route_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return urls.select("k", "url", route.alias("route"))
 
 
+def q_sitemap_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap ingestion (reference base.py:1275, NotImplemented there):
+    urlset bodies with 3 locs per region + one sitemapindex body, all
+    genuinely XML-parsed by the engine; closed-form oracle."""
+    from kryptone_spark.sources import seeds
+
+    r = _load(spark, sf_dir, "region")
+    key = F.col("r_regionkey")
+    urlset = F.concat(
+        F.lit('<?xml version="1.0"?><urlset><url><loc> https://r'),
+        key.cast("string"),
+        F.lit(".test/a </loc></url><url><loc>https://r"),
+        key.cast("string"),
+        F.lit(".test/b</loc><lastmod>2024-01-01</lastmod></url><url><loc>https://r"),
+        key.cast("string"),
+        F.lit(".test/c</loc></url></urlset>"),
+    )
+    index = F.concat(
+        F.lit("<sitemapindex><sitemap><loc>https://r"),
+        key.cast("string"),
+        F.lit(".test/sitemap-products.xml</loc></sitemap></sitemapindex>"),
+    )
+    raw = r.select(
+        F.concat(F.lit("https://r"), key.cast("string"), F.lit(".test/sitemap.xml")).alias("sitemap_url"),
+        F.when(key % 2 == 0, urlset).otherwise(index).alias("xml"),
+    )
+    return seeds.sitemap_seeds(raw)
+
+
 def q_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Columnar robots.txt parsing: raw bodies synthesized from nation
     rows (three shapes: a '*' section with rules + crawl-delay, a
@@ -1263,6 +1292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ivf_ann": q_emb_ivf_ann,
         "url_canonicalize": q_url_canonicalize,
         "route_dispatch": q_route_dispatch,
+        "sitemap_seeds": q_sitemap_seeds,
         "robots_parse": q_robots_parse,
         "robots_join": q_robots_join,
         "url_distribution": q_url_distribution,
@@ -2069,6 +2099,26 @@ def oracle_sql() -> dict[str, str]:
                      ELSE 'other'
                    END AS route
             FROM urls
+        """,
+        "sitemap_seeds": """
+            -- closed-form: even regions emit a 3-loc urlset (first loc
+            -- whitespace-padded, trimmed by the parser); odd regions an
+            -- index row pointing at a child sitemap
+            WITH r AS (SELECT r_regionkey AS k FROM region),
+            u AS (
+              SELECT 'https://r' || k || '.test/sitemap.xml' AS sitemap_url,
+                     'url' AS kind,
+                     unnest(list_value(
+                       'https://r' || k || '.test/a',
+                       'https://r' || k || '.test/b',
+                       'https://r' || k || '.test/c')) AS url
+              FROM r WHERE k % 2 = 0),
+            s AS (
+              SELECT 'https://r' || k || '.test/sitemap.xml' AS sitemap_url,
+                     'sitemap' AS kind,
+                     'https://r' || k || '.test/sitemap-products.xml' AS url
+              FROM r WHERE k % 2 = 1)
+            SELECT * FROM u UNION ALL SELECT * FROM s
         """,
         "robots_parse": """
             -- closed-form expected parse per synthesis class:

@@ -83,3 +83,36 @@ def pagination_generator(
     return query_generator(
         spark, url, param_name, initial_value=1, end_value=k, step=1
     )
+
+
+def sitemap_seeds(
+    sitemaps: DataFrame, xml_col: str = "xml", url_col: str = "sitemap_url"
+) -> DataFrame:
+    """Seed URLs from sitemap XML — the reference API surface
+    ``start_from_sitemap_xml`` (base.py:1275) is declared but returns
+    NotImplemented; the engine implements it as data.
+
+    Input: one row per fetched sitemap body. Output: one row per
+    ``<loc>`` entry with ``kind`` = 'url' (from a ``<urlset>``) or
+    'sitemap' (from a ``<sitemapindex>`` — feed those back through a
+    fetch for the next round; index recursion is a driver loop over
+    tiny per-round frontiers, exactly like crawl waves).
+
+    One regexp projection + explode; parsing 10^6 sitemap bodies is a
+    scan. The loc pattern is non-greedy group extraction only — no
+    lookarounds — so a SQL (RE2) oracle states it identically.
+    """
+    locs = F.regexp_extract_all(
+        F.col(xml_col), F.lit(r"<loc>\s*(.*?)\s*</loc>"), F.lit(1)
+    )
+    kind = F.when(
+        F.col(xml_col).contains("<sitemapindex"), F.lit("sitemap")
+    ).otherwise(F.lit("url"))
+    return (
+        sitemaps.select(
+            F.col(url_col).alias("sitemap_url"),
+            kind.alias("kind"),
+            F.explode(locs).alias("url"),
+        )
+        .where(F.col("url") != "")
+    )

@@ -274,3 +274,28 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
 
     urls = [r["url"] for r in spark.sql("select url from dedup_stream").collect()]
     assert sorted(urls) == ["http://a.test/1", "http://a.test/2", "http://b.test/1"]
+
+
+def test_sitemap_seeds(spark):
+    """Sitemap XML → seed rows: urlset locs (whitespace-trimmed),
+    sitemapindex rows flagged kind='sitemap', empty locs dropped."""
+    from kryptone_spark.sources import seeds
+
+    rows = [
+        ("https://a.test/sitemap.xml",
+         "<urlset><url><loc> https://a.test/1 </loc></url>"
+         "<url><loc>https://a.test/2</loc><lastmod>2024-01-01</lastmod></url>"
+         "<url><loc></loc></url></urlset>"),
+        ("https://b.test/sitemap.xml",
+         "<sitemapindex><sitemap><loc>https://b.test/s1.xml</loc></sitemap>"
+         "<sitemap><loc>https://b.test/s2.xml</loc></sitemap></sitemapindex>"),
+        ("https://c.test/sitemap.xml", "<urlset></urlset>"),
+    ]
+    df = spark.createDataFrame(rows, "sitemap_url string, xml string")
+    got = [(r["sitemap_url"], r["kind"], r["url"]) for r in seeds.sitemap_seeds(df).collect()]
+    assert sorted(got) == [
+        ("https://a.test/sitemap.xml", "url", "https://a.test/1"),
+        ("https://a.test/sitemap.xml", "url", "https://a.test/2"),
+        ("https://b.test/sitemap.xml", "sitemap", "https://b.test/s1.xml"),
+        ("https://b.test/sitemap.xml", "sitemap", "https://b.test/s2.xml"),
+    ]
