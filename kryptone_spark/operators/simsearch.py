@@ -353,3 +353,33 @@ def quantize_embeddings(
     return df.withColumn(out_col, q).withColumn(
         "q_scale", F.when(mx > 0, F.round(mx / 127.0, 8)).otherwise(F.lit(0.0))
     )
+
+
+def brute_force_topk_quantized(
+    embeddings_q: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    qvec_col: str = "q_embedding",
+    scale_col: str = "q_scale",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact-shape top-k over a ``quantize_embeddings`` table: the scan
+    reads int8 arrays + one scale per vector (4x fewer bytes than
+    float32 — at 10^10 vectors the probe is scan-bound, so that is 4x
+    wall time), reconstructs dot(a, q) ≈ dot(q_a, q) * scale_a, and
+    ranks with the same (sim desc, id) tail as the float path. The
+    query side stays float (it is tiny and broadcast). Approximation
+    error is the quantization's ~1e-2 on cosine; a recall test pins it.
+    Cosine normalizes by the DEQUANTIZED norm, so the scale cancels in
+    ranking only when vectors share a scale — we keep it explicit."""
+    q = queries.select(F.col("query_id"), F.col(vec_col).alias("q_vec"))
+    deq = F.transform(
+        F.col(qvec_col), lambda v: v.cast("double") * F.col(scale_col)
+    )
+    scored = embeddings_q.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        F.round(cosine(deq, F.col("q_vec")), 6).alias("sim"),
+    )
+    return _topk_by_sim(scored, k)

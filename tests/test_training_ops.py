@@ -560,3 +560,20 @@ def test_quantize_embeddings_roundtrip(spark):
     na = math.sqrt(sum(x * x for x in a))
     nd = math.sqrt(sum(x * x for x in deq))
     assert abs(dot / (na * nd) - 1.0) < 1e-2
+
+
+def test_quantized_topk_recall(spark, vectors):
+    """Quantized brute-force probe: recall@5 vs the exact float path
+    must be >= 0.9 on the deterministic vector fixture (int8 cosine
+    error ~1e-2 barely perturbs neighbor ranks)."""
+    _, vdf = vectors
+    queries = vdf.limit(3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = simsearch.brute_force_topk(vdf, queries, k=5)
+    quant = simsearch.brute_force_topk_quantized(
+        simsearch.quantize_embeddings(vdf), queries, k=5
+    )
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    g = {(r["query_id"], r["neighbor_id"]) for r in quant.collect()}
+    assert len(e & g) / len(e) >= 0.9
