@@ -54,29 +54,37 @@ def gather_filter(candidates: DataFrame, config: CrawlConfig, url_col: str = "ur
     )
 
 
-def admit(
-    candidates: DataFrame,
-    config: CrawlConfig,
-    seen: DataFrame | None = None,
-    visited: DataFrame | None = None,
-    allow_home: bool | str = False,
-    refresh: bool = False,
-) -> DataFrame:
-    """Run the admission pipeline over a batch of candidate links.
+# Constructed-expression cache. Building the admission Column tree is
+# pure driver-side py4j traffic (the resolve_relative HOF fold alone is
+# thousands of JVM calls) and measured 2-5 s per admit() call — which
+# the wave loop pays EVERY wave even though the tree is identical for a
+# given config. Column objects are immutable name-referencing
+# expression trees, safe to reuse across DataFrames/plans, so we build
+# them once per (SparkContext, config-surface, refresh) key. The only
+# per-call variation — the allow_home gate — is injected as a cheap
+# ``__home_allowed`` boolean column the cached tree references by name.
+_EXPR_CACHE: dict[tuple, dict[str, Column]] = {}
 
-    ``candidates`` needs a ``url`` column (raw link string, possibly
-    relative) and optionally ``src_url``. ``seen``/``visited`` need a
-    ``url`` column of previously-seen/visited resolved URLs.
-    ``allow_home`` mirrors the reference's ``iteration_count > 0`` gate
-    on home-page suppression (base.py:706-717): True allows '/' for the
-    whole batch (seed admission), a string allows it only for links
-    found on that src page (the first page ever processed).
 
-    Returns one row per input row with: ``url_raw``, ``url`` (resolved),
-    ``domain``, ``verdict`` ('valid'|'rejected'), ``reject_reason``,
-    ``filtered`` (P13 ignore-tests verdict, applied post-seen-update).
-    P1 gather-ignored rows are dropped entirely (never seen).
-    """
+def _admit_exprs(config: CrawlConfig, refresh: bool) -> dict[str, Column]:
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    key = (
+        id(sc),
+        config.start_url,
+        tuple(config.rule_tests),
+        tuple(config.ignore_path_substrings),
+        tuple(config.ignore_url_regexes),
+        config.ignore_images,
+        tuple(config.image_extensions),
+        config.n_domain_buckets,
+        refresh,
+    )
+    cached = _EXPR_CACHE.get(key)
+    if cached is not None:
+        return cached
+
     start = config.start_url
     origin_lit = ""
     seed_path = ""
@@ -90,54 +98,9 @@ def admit(
     else:
         seed_netloc = None
 
-    df = gather_filter(candidates, config)
-    df = df.withColumnRenamed("url", "url_raw")
-    # P2 — relative resolution + unquote (base.py:681-683, 611-616).
-    # The dot-segment fold inside resolve_relative is a higher-order
-    # function, which knocks any projection containing it out of
-    # whole-stage codegen; the nondeterministic barrier column stops
-    # CollapseProject from inlining the resolve expression into the
-    # (hot, regex-heavy) part extractions below, so only this one
-    # single-column projection runs interpreted — measured 2.3x on the
-    # admission bench vs letting the whole pipeline fall back.
-    df = df.select(
-        "*",
-        U.resolve_relative(F.col("url_raw"), F.lit(origin_lit)).alias("url"),
-        F.monotonically_increasing_id().alias("__barrier"),
-    )
-    # Parse ONCE: the RFC-3986 split is the hottest expression in the
-    # pipeline; projecting the parts here lets codegen's subexpression
-    # elimination share one regex pass across every predicate below
-    # (measured ~2x on the admission bench vs per-predicate extracts).
-    df = df.withColumns(
-        {
-            "__netloc": U.netloc(F.col("url")),
-            "__path": U.path(F.col("url")),
-            "__query": U.query(F.col("url")),
-        }
-    ).drop("__barrier")
-
-    # membership flags via left joins (J1/J2); null-safe on the marker
-    if visited is not None:
-        v = visited.select(F.col("url"), F.lit(True).alias("__visited"))
-        df = df.join(F.broadcast(v) if _small(visited) else v, "url", "left")
-    else:
-        df = df.withColumn("__visited", F.lit(None).cast("boolean"))
-    if seen is not None:
-        s = seen.select(F.col("url"), F.lit(True).alias("__seen"))
-        df = df.join(s, "url", "left")
-    else:
-        df = df.withColumn("__seen", F.lit(None).cast("boolean"))
-
     url = F.col("url")
     in_visited = F.coalesce(F.col("__visited"), F.lit(False))
     in_seen = F.coalesce(F.col("__seen"), F.lit(False))
-
-    if isinstance(allow_home, str) and "src_url" in df.columns:
-        home_allowed = F.col("src_url") == F.lit(allow_home)
-    else:
-        home_allowed = F.lit(bool(allow_home))
-
     p_netloc, p_path, p_query = F.col("__netloc"), F.col("__path"), F.col("__query")
 
     # P3-P11 in the reference's exact order (base.py:685-740)
@@ -153,7 +116,8 @@ def admit(
     checks.append(("fragment", U.has_fragment(url)))
     checks.append(
         ("home",
-         (p_path == "/") & F.lit(seed_path == "/") & ~home_allowed)
+         (p_path == "/") & F.lit(seed_path == "/")
+         & ~F.col("__home_allowed"))
     )
     if config.ignore_images:
         # is_image semantics (urls.py:241-274) over the pre-split parts
@@ -181,7 +145,92 @@ def admit(
     if config.ignore_url_regexes:
         filtered = filtered | _rlike_any(url, config.ignore_url_regexes)
 
-    out = df.withColumn("reject_reason", reason)
+    exprs = {
+        "resolve": U.resolve_relative(F.col("url_raw"), F.lit(origin_lit)),
+        "netloc": U.netloc(url),
+        "path": U.path(url),
+        "query": U.query(url),
+        "reason": reason,
+        "filtered": filtered,
+        "domain_bucket": U.domain_bucket(p_netloc, config.n_domain_buckets),
+    }
+    if len(_EXPR_CACHE) >= 32:  # stale-context hygiene, not an LRU
+        _EXPR_CACHE.clear()
+    _EXPR_CACHE[key] = exprs
+    return exprs
+
+
+def admit(
+    candidates: DataFrame,
+    config: CrawlConfig,
+    seen: DataFrame | None = None,
+    visited: DataFrame | None = None,
+    allow_home: bool | str = False,
+    refresh: bool = False,
+) -> DataFrame:
+    """Run the admission pipeline over a batch of candidate links.
+
+    ``candidates`` needs a ``url`` column (raw link string, possibly
+    relative) and optionally ``src_url``. ``seen``/``visited`` need a
+    ``url`` column of previously-seen/visited resolved URLs.
+    ``allow_home`` mirrors the reference's ``iteration_count > 0`` gate
+    on home-page suppression (base.py:706-717): True allows '/' for the
+    whole batch (seed admission), a string allows it only for links
+    found on that src page (the first page ever processed).
+
+    Returns one row per input row with: ``url_raw``, ``url`` (resolved),
+    ``domain``, ``verdict`` ('valid'|'rejected'), ``reject_reason``,
+    ``filtered`` (P13 ignore-tests verdict, applied post-seen-update).
+    P1 gather-ignored rows are dropped entirely (never seen).
+    """
+    e = _admit_exprs(config, refresh)
+
+    df = gather_filter(candidates, config)
+    df = df.withColumnRenamed("url", "url_raw")
+    # P2 — relative resolution + unquote (base.py:681-683, 611-616).
+    # The dot-segment fold inside resolve_relative is a higher-order
+    # function, which knocks any projection containing it out of
+    # whole-stage codegen; the nondeterministic barrier column stops
+    # CollapseProject from inlining the resolve expression into the
+    # (hot, regex-heavy) part extractions below, so only this one
+    # single-column projection runs interpreted — measured 2.3x on the
+    # admission bench vs letting the whole pipeline fall back.
+    df = df.select(
+        "*",
+        e["resolve"].alias("url"),
+        F.monotonically_increasing_id().alias("__barrier"),
+    )
+    # Parse ONCE: the RFC-3986 split is the hottest expression in the
+    # pipeline; projecting the parts here lets codegen's subexpression
+    # elimination share one regex pass across every predicate below
+    # (measured ~2x on the admission bench vs per-predicate extracts).
+    df = df.withColumns(
+        {
+            "__netloc": e["netloc"],
+            "__path": e["path"],
+            "__query": e["query"],
+        }
+    ).drop("__barrier")
+
+    # membership flags via left joins (J1/J2); null-safe on the marker
+    if visited is not None:
+        v = visited.select(F.col("url"), F.lit(True).alias("__visited"))
+        df = df.join(F.broadcast(v) if _small(visited) else v, "url", "left")
+    else:
+        df = df.withColumn("__visited", F.lit(None).cast("boolean"))
+    if seen is not None:
+        s = seen.select(F.col("url"), F.lit(True).alias("__seen"))
+        df = df.join(s, "url", "left")
+    else:
+        df = df.withColumn("__seen", F.lit(None).cast("boolean"))
+
+    if isinstance(allow_home, str) and "src_url" in df.columns:
+        home_allowed = F.col("src_url") == F.lit(allow_home)
+    else:
+        home_allowed = F.lit(bool(allow_home))
+    df = df.withColumn("__home_allowed", home_allowed)
+
+    out = df.withColumn("reject_reason", e["reason"])
     out = out.withColumn(
         "verdict",
         F.when(F.col("reject_reason").isNull(), F.lit("valid")).otherwise(
@@ -189,13 +238,14 @@ def admit(
         ),
     )
     out = out.withColumn(
-        "filtered", F.when(F.col("verdict") == "valid", filtered).otherwise(F.lit(False))
+        "filtered",
+        F.when(F.col("verdict") == "valid", e["filtered"]).otherwise(F.lit(False)),
     )
-    out = out.withColumn("domain", p_netloc)
-    out = out.withColumn(
-        "domain_bucket", U.domain_bucket(F.col("domain"), config.n_domain_buckets)
+    out = out.withColumn("domain", F.col("__netloc"))
+    out = out.withColumn("domain_bucket", e["domain_bucket"])
+    return out.drop(
+        "__visited", "__seen", "__netloc", "__path", "__query", "__home_allowed"
     )
-    return out.drop("__visited", "__seen", "__netloc", "__path", "__query")
 
 
 def _small(df: DataFrame) -> bool:

@@ -36,6 +36,8 @@ Scale notes (10^10 frontier):
 
 from __future__ import annotations
 
+import time
+from collections import defaultdict
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -128,6 +130,21 @@ class WaveRunner:
         # delta (seen/frontier deltas of wave k land in partition k+1
         # but must commit before wave k's lineage marker)
         self._pending_flush: list[tuple[str, int, DataFrame, int]] = []
+        # wall-clock seconds per run_wave phase, summed across waves —
+        # the driver-side profile of where a crawl's time actually goes
+        # (schedule+stats agg / admission / per-url agg / flush)
+        self.phase_seconds: dict[str, float] = defaultdict(float)
+        # async commit pipeline: flush jobs only read this wave's
+        # already-checkpointed RDDs, so they run off the critical path
+        # while wave k+1 computes (the same pipelining an Iceberg
+        # writer's async commit gives). ONE worker = groups still
+        # commit in order, lineage still last within a group.
+        from concurrent.futures import Future, ThreadPoolExecutor
+
+        self._flush_executor = ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="wave-flush"
+        )
+        self._flush_futures: list[Future] = []
 
     # ---- state helpers ---------------------------------------------------
 
@@ -139,8 +156,8 @@ class WaveRunner:
     def _queue_flush(self, name: str, wave: int, df: DataFrame, group: int) -> None:
         self._pending_flush.append((name, wave, df, group))
 
-    def flush(self) -> None:
-        """Write pending per-wave deltas; within each producing wave the
+    def _do_flush(self, pending: list[tuple[str, int, DataFrame, int]]) -> None:
+        """Write per-wave deltas; within each producing wave the
         lineage rows go last so a torn flush leaves that wave
         uncommitted (resume recomputes it). Non-lineage writes of a
         group are independent parquet dirs → submitted as concurrent
@@ -148,7 +165,7 @@ class WaveRunner:
         from concurrent.futures import ThreadPoolExecutor
 
         by_group: dict[int, list[tuple[str, int, DataFrame]]] = {}
-        for name, wave, df, group in self._pending_flush:
+        for name, wave, df, group in pending:
             by_group.setdefault(group, []).append((name, wave, df))
         for group in sorted(by_group):
             items = sorted(by_group[group], key=lambda t: _DELTA_TABLES.index(t[0]))
@@ -162,7 +179,42 @@ class WaveRunner:
                     self.io.write_wave(n, d, w)
             for n, w, d in tail:
                 self.io.write_wave(n, d, w)
-        self._pending_flush.clear()
+
+    def _flush_async(self) -> None:
+        """Queue the pending deltas onto the single-worker commit
+        pipeline and return immediately: wave k's writes overlap wave
+        k+1's compute. The deltas are localCheckpointed RDDs, so the
+        background writes never recompute live state. A failed commit
+        surfaces on the next flush call (or the final join) — the loop
+        stops within one wave of a write error."""
+        self._raise_flush_errors(wait=False)
+        items, self._pending_flush = self._pending_flush, []
+        if items:
+            self._flush_futures.append(
+                self._flush_executor.submit(self._do_flush, items)
+            )
+
+    def _raise_flush_errors(self, wait: bool) -> None:
+        done = []
+        for f in self._flush_futures:
+            if wait:
+                f.result()
+                done.append(f)
+            elif f.done():
+                f.result()  # re-raises a background write failure
+                done.append(f)
+        for f in done:
+            self._flush_futures.remove(f)
+
+    def flush(self) -> None:
+        """Synchronous flush: drain the queue AND join every in-flight
+        background commit — the durability barrier run()/resume() use."""
+        items, self._pending_flush = self._pending_flush, []
+        if items:
+            self._flush_futures.append(
+                self._flush_executor.submit(self._do_flush, items)
+            )
+        self._raise_flush_errors(wait=True)
 
     # ---- bootstrap ---------------------------------------------------
 
@@ -194,6 +246,7 @@ class WaveRunner:
     # ---- one wave -------------------------------------------------------
 
     def run_wave(self, wave: int) -> WaveSummary | None:
+        t0 = time.perf_counter()
         frontier = self._state["frontier"]
         if frontier is None:
             return None
@@ -222,12 +275,29 @@ class WaveRunner:
             F.min("url").alias("first_url"),
         ).collect()[0]
         fetched = stats["n"]
+        t1 = time.perf_counter()
+        self.phase_seconds["schedule"] += t1 - t0
         if self.robots is not None:
             self._append_state("robots_blocked", new_blocked)
             self._queue_flush("robots_blocked", wave, new_blocked, group=wave)
         if fetched == 0:
             self.flush()
             return None
+
+        # Right-size the wave: the checkpointed batch carries
+        # shuffle.partitions partitions regardless of row count, and
+        # every downstream stage (link explode, admission, per-URL agg,
+        # the six delta writes) inherits that width. A 500-page wave on
+        # 32 partitions is pure task-launch overhead — coalesce (narrow,
+        # no shuffle) to ~2k pages/task, capped at defaultParallelism so
+        # a 10^8-URL wave on a real cluster keeps every executor busy.
+        nparts = max(1, min(
+            self.spark.sparkContext.defaultParallelism,
+            (fetched + 2047) // 2048,
+        ))
+        # coalesce never raises the partition count, so no width probe
+        # is needed: when the batch is already narrower this is a no-op
+        batch = batch.coalesce(nparts)
 
         self._queue_flush(
             "fetch_batches",
@@ -291,12 +361,16 @@ class WaveRunner:
             )
         # admitted feeds FIVE consumers (seen/frontier/edges/lineage
         # writes + next-wave state), and flush submits the writes from
-        # concurrent threads: a lazy checkpoint lets every thread race
-        # to compute the admission DAG independently (measured 2x wave
-        # wall time). Materialize it exactly once — the stats agg does
-        # it when collect_stats is on; otherwise the checkpoint itself
-        # must be eager.
-        admitted = admitted.localCheckpoint(eager=not self.collect_stats)
+        # concurrent threads: an unmaterialized lazy checkpoint would
+        # let every thread race to compute the admission DAG
+        # independently (measured 2x wave wall time). It is guaranteed
+        # materialized before flush: per_url's eager checkpoint below
+        # (or the stats agg when collect_stats is on) computes it — and
+        # a lazy localCheckpoint persists on first computation — so the
+        # checkpoint itself can stay lazy and the admission DAG runs
+        # exactly once per wave instead of once for the checkpoint and
+        # once for per_url.
+        admitted = admitted.localCheckpoint(eager=False)
         if self.collect_stats:
             counts = admitted.agg(
                 F.count("*").alias("cand"),
@@ -307,6 +381,8 @@ class WaveRunner:
             candidates, out_count = counts["cand"], int(counts["out"] or 0)
         else:
             candidates = out_count = -1
+        t2 = time.perf_counter()
+        self.phase_seconds["admission"] += t2 - t1
 
         # per-URL aggregation: any-valid wins (matches the oracle's
         # sorted per-page processing — home rule is src-dependent, all
@@ -318,6 +394,8 @@ class WaveRunner:
             F.max(F.col("verdict") == "valid").alias("is_valid"),
             F.max(F.col("filtered")).alias("filtered"),
         ).localCheckpoint(eager=True)
+        t3 = time.perf_counter()
+        self.phase_seconds["per_url"] += t3 - t2
 
         seen_rows = per_url.select(
             "url", "domain_bucket",
@@ -420,9 +498,12 @@ class WaveRunner:
             )
         )
         self._queue_flush("lineage", wave, lineage, group=wave)
+        t4 = time.perf_counter()
+        self.phase_seconds["state_build"] += t4 - t3
 
         if (wave + 1) % self.checkpoint_interval == 0:
-            self.flush()
+            self._flush_async()
+        self.phase_seconds["flush"] += time.perf_counter() - t4
 
         # drop executor copies of this wave's probe broadcasts so they
         # don't pile up O(#waves); a lazy plan that re-executes a probe
