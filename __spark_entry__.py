@@ -368,6 +368,28 @@ def q_docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(_load(spark, sf_dir, "documents"))
 
 
+def q_docs_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus line dedup + boilerplate cap (dedup.dedup_lines):
+    the flat documents are re-lined deterministically (8-token chunks
+    joined by newline — the same construction stated in the oracle), so
+    the operator's keep-first and line-df-cap rules are exercised on
+    genuinely repeated lines (the synthetic corpus's word soup repeats
+    8-grams across docs)."""
+    from kryptone_spark.operators import dedup
+
+    docs = _load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    lines = F.transform(
+        F.sequence(F.lit(0), F.ceil(F.size(toks) / F.lit(8.0)).cast("int") - 1),
+        lambda i: F.array_join(F.slice(toks, i * 8 + 1, 8), " "),
+    )
+    chunked = docs.select(
+        "doc_id", F.array_join(lines, "\n").alias("text")
+    )
+    out = dedup.dedup_lines(chunked, max_line_df=4, min_line_len=1)
+    return out.select("doc_id", "n_lines", "n_kept", "text")
+
+
 def q_docs_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kryptone_spark.operators import dedup
 
@@ -1263,6 +1285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json": q_events_json,
         "events_hourly": q_events_hourly,
         "docs_exact_dedup": q_docs_exact_dedup,
+        "docs_line_dedup": q_docs_line_dedup,
         "docs_minhash": q_docs_minhash,
         "docs_lsh_pairs": q_docs_lsh_pairs,
         "docs_dup_clusters": q_docs_dup_clusters,
@@ -1580,6 +1603,40 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS keep_doc_id
             FROM documents
             GROUP BY text_hash HAVING count(*) > 1
+        """,
+        "docs_line_dedup": """
+            WITH chunked AS (
+              SELECT doc_id,
+                     list_transform(
+                       range(0, cast(ceil(len(string_split(text, ' ')) / 8.0) AS INT)),
+                       i -> array_to_string(string_split(text, ' ')[i*8+1 : i*8+8], ' ')
+                     ) AS lns
+              FROM documents),
+            lines AS (
+              SELECT doc_id,
+                     generate_subscripts(lns, 1) - 1 AS line_no,
+                     unnest(lns) AS line
+              FROM chunked),
+            scored AS (
+              SELECT *,
+                     length(line) >= 1 AS elig,
+                     CASE WHEN length(line) >= 1 THEN
+                       row_number() OVER (
+                         PARTITION BY CASE WHEN length(line) >= 1 THEN line END
+                         ORDER BY doc_id, line_no) END AS rn,
+                     CASE WHEN length(line) >= 1 THEN
+                       count(DISTINCT doc_id) OVER (
+                         PARTITION BY CASE WHEN length(line) >= 1 THEN line END)
+                       END AS line_df
+              FROM lines)
+            SELECT doc_id,
+                   count(*) AS n_lines,
+                   sum(CASE WHEN NOT elig OR (rn = 1 AND line_df <= 4)
+                            THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+                   coalesce(string_agg(
+                     CASE WHEN NOT elig OR (rn = 1 AND line_df <= 4) THEN line END,
+                     chr(10) ORDER BY line_no), '') AS text
+            FROM scored GROUP BY doc_id
         """,
         "docs_minhash": f"""
             WITH {TOKS_CTE.strip()}

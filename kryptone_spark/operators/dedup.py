@@ -67,6 +67,107 @@ def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def dedup_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    line_sep: str = "\n",
+    min_line_len: int = 1,
+    max_line_df: int | None = None,
+    keep_first: bool = True,
+) -> DataFrame:
+    """Cross-corpus line-level dedup + boilerplate removal (the
+    CCNet/RefinedWeb line-granularity curation step — the reference has
+    no content dedup at all). Two independently-usable rules over the
+    exploded (doc, line) stream:
+
+    - ``keep_first``: of every group of identical lines, only the FIRST
+      occurrence in corpus order (min (doc_id, line_no)) survives —
+      later copies, including later copies inside the same document,
+      are dropped.
+    - ``max_line_df``: lines whose document frequency exceeds the cap
+      are dropped EVERYWHERE (navigation bars, cookie banners — text
+      repeated across many pages carries no training signal).
+
+    Lines shorter than ``min_line_len`` are not dedup-eligible and pass
+    through untouched (dedup-ing "" would collapse every blank line in
+    the corpus into the first document).
+
+    Returns (id_col, text: the re-joined surviving lines, n_lines,
+    n_kept) — one row per input doc, docs whose every line was dropped
+    keep an empty text.
+
+    Scale: lines are keyed by md5 (32-hex, so the group-by shuffle
+    never carries a line's full text twice); one shuffle to find first
+    owners + doc frequencies (map-side partial agg), one line-key join
+    back, one doc_id regroup to reassemble — all hash-partitioned, no
+    window over the corpus, nothing driver-side. The join's build side
+    is only the DUPLICATED line keys (groups of size 1 are dropped
+    before the join and pass through by coalesce), which at 100 TB is
+    the small minority of a crawl's distinct lines.
+    """
+    lines = df.select(
+        id_col,
+        F.posexplode(F.split(F.col(text_col), line_sep)).alias("line_no", "line"),
+    )
+    elig = F.length("line") >= min_line_len
+    lines = lines.withColumn("__k", F.when(elig, F.md5(F.col("line"))))
+    groups = (
+        lines.where(F.col("__k").isNotNull())
+        .groupBy("__k")
+        .agg(
+            F.min(F.struct(id_col, "line_no")).alias("__first"),
+            F.count_distinct(F.col(id_col)).alias("__df"),
+            F.count("*").alias("__n"),
+        )
+        # singleton lines can't lose either rule (first occurrence of
+        # themselves, df=1 ≤ any cap) — dropping them here keeps the
+        # join's build side to just the contended keys
+        .where(
+            (F.col("__n") > 1)
+            | (F.lit(max_line_df is not None) & (F.col("__df") > (max_line_df or 0)))
+        )
+    )
+    j = lines.join(groups, "__k", "left")
+    survive = (
+        F.col("__k").isNull()  # ineligible: always kept
+        | F.col("__first").isNull()  # uncontended singleton
+        | (
+            (
+                F.struct(F.col(id_col), F.col("line_no")) == F.col("__first")
+                if keep_first
+                else F.lit(True)
+            )
+            & (
+                (F.col("__df") <= max_line_df)
+                if max_line_df is not None
+                else F.lit(True)
+            )
+        )
+    )
+    kept = j.withColumn("__keep", survive)
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.col("__keep").cast("long")).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__keep"), F.struct("line_no", "line")
+                            )
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+                line_sep,
+            ).alias(text_col),
+        )
+    )
+
+
 def minhash_signatures(df: DataFrame, text_col: str = "text", k: int = MINHASH_K) -> DataFrame:
     """MinHash: sig_i = min over tokens of md5(tok || '#i'). One wide
     groupBy; hex-string min == numeric min (fixed 32-char strings).

@@ -31,6 +31,36 @@ def test_exact_dedup(corpus):
     assert g["group_size"] == 3 and g["keep_doc_id"] == 0  # 0, 1, 4
 
 
+def test_dedup_lines(spark):
+    """Line dedup: first occurrence wins (intra-doc too), boilerplate
+    over the df cap drops everywhere, short/blank lines pass through."""
+    rows = [
+        (1, "alpha\nbeta\nboiler\nalpha"),
+        (2, "beta\nboiler\ngamma"),
+        (3, "boiler\ndelta\n\nx"),
+        (4, "boiler\nalpha\nepsilon"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in dedup.dedup_lines(df, max_line_df=3, min_line_len=2).collect()
+    }
+    # 'boiler' df=4 > 3: dropped everywhere; 'alpha' dup in doc 1 and
+    # again in doc 4: only doc 1 line 0 survives; ''/'x' ineligible
+    assert (out[1]["text"], out[1]["n_lines"], out[1]["n_kept"]) == ("alpha\nbeta", 4, 2)
+    assert out[2]["text"] == "gamma"
+    assert out[3]["text"] == "delta\n\nx" and out[3]["n_kept"] == 3
+    assert out[4]["text"] == "epsilon"
+    # rules are independently disengageable
+    no_cap = {r["doc_id"]: r["text"] for r in dedup.dedup_lines(df, min_line_len=2).collect()}
+    assert no_cap[1] == "alpha\nbeta\nboiler"
+    df_only = {
+        r["doc_id"]: r["text"]
+        for r in dedup.dedup_lines(df, max_line_df=3, min_line_len=2, keep_first=False).collect()
+    }
+    assert df_only[1] == "alpha\nbeta\nalpha"  # dups kept, boiler gone
+
+
 def test_minhash_signature_matches_hashlib(corpus):
     rows = {r["doc_id"]: r for r in dedup.minhash_signatures(corpus).collect()}
     toks = set("the quick brown fox jumps over the lazy dog".split())
