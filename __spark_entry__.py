@@ -852,6 +852,30 @@ def _index_dir(sf_dir: str, kind: str) -> str:
     )
 
 
+def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC ingestion end-to-end: the documents table is serialized as
+    a WARC archive (sources/warc.py write_warc — deterministic record
+    framing), read back through the columnar reader (record split in
+    the text scan via lineSep, header parse as a str_to_map projection,
+    zero Python), and summarized. The oracle states the expected
+    records straight from the documents table."""
+    from kryptone_spark.sources import warc
+
+    docs = _load(spark, sf_dir, "documents").select(
+        F.concat(F.lit("https://docs.test/doc-"), F.col("doc_id").cast("string")).alias("url"),
+        "text",
+    )
+    path = _index_dir(sf_dir, "warc")
+    warc.write_warc(docs, path)
+    recs = warc.read_warc(spark, path)
+    return recs.select(
+        F.col("target_uri"),
+        F.col("warc_type"),
+        F.col("content_length"),
+        F.md5("body").alias("body_md5"),
+    )
+
+
 def q_emb_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH ANN (the scale path for emb_cosine_topk), through
     the INGEST-TIME index: the table is materialized partitioned on its
@@ -1316,6 +1340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": q_url_canonicalize,
         "route_dispatch": q_route_dispatch,
         "sitemap_seeds": q_sitemap_seeds,
+        "warc_roundtrip": q_warc_roundtrip,
         "robots_parse": q_robots_parse,
         "robots_join": q_robots_join,
         "url_distribution": q_url_distribution,
@@ -2156,6 +2181,16 @@ def oracle_sql() -> dict[str, str]:
                      ELSE 'other'
                    END AS route
             FROM urls
+        """,
+        "warc_roundtrip": """
+            -- the WARC archive is synthesized from documents with
+            -- Content-Length = length(text) and body = text, so the
+            -- parsed records must reproduce the table exactly
+            SELECT 'https://docs.test/doc-' || doc_id AS target_uri,
+                   'response' AS warc_type,
+                   length(text)::BIGINT AS content_length,
+                   md5(text) AS body_md5
+            FROM documents
         """,
         "sitemap_seeds": """
             -- closed-form: even regions emit a 3-loc urlset (first loc

@@ -299,3 +299,32 @@ def test_sitemap_seeds(spark):
         ("https://b.test/sitemap.xml", "sitemap", "https://b.test/s1.xml"),
         ("https://b.test/sitemap.xml", "sitemap", "https://b.test/s2.xml"),
     ]
+
+
+def test_warc_roundtrip(spark, tmp_path):
+    """write_warc → read_warc reproduces (url, text, length) exactly;
+    header parsing survives URIs with query strings and colons."""
+    from kryptone_spark.sources import warc
+
+    docs = spark.createDataFrame(
+        [
+            ("https://a.test/x?q=1:2", "hello world"),
+            ("https://a.test/empty", ""),
+            ("https://b.test/long", "w " * 500),
+        ],
+        "url string, text string",
+    )
+    path = str(tmp_path / "warc")
+    warc.write_warc(docs, path)
+    rows = {r["target_uri"]: r for r in warc.read_warc(spark, path).collect()}
+    assert set(rows) == {
+        "https://a.test/x?q=1:2", "https://a.test/empty", "https://b.test/long"
+    }
+    assert rows["https://a.test/x?q=1:2"]["body"] == "hello world"
+    assert rows["https://a.test/empty"]["body"] == ""
+    # trailing spaces are payload; only CR/LF framing is stripped
+    assert rows["https://b.test/long"]["body"] == "w " * 500
+    for r in rows.values():
+        assert r["warc_type"] == "response"
+        assert r["content_length"] == len(docs.where(
+            F.col("url") == r["target_uri"]).collect()[0]["text"])
