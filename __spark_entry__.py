@@ -1201,6 +1201,25 @@ def q_url_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier prioritization by link evidence: 3 power iterations of
+    PageRank over the synthetic order→part edge graph (the same edges
+    as url_distribution). Each iteration rounds to 9 dp in BOTH engines
+    so float sum-order differences stay below the hash (see
+    operators/linkgraph.py determinism contract)."""
+    from kryptone_spark.operators import linkgraph
+
+    li = _load(spark, sf_dir, "lineitem")
+    base = F.concat(F.lit("https://site"), (F.col("l_orderkey") % 7).cast("string"), F.lit(".test"))
+    edges = li.select(
+        F.concat(base, F.lit("/order-"), F.col("l_orderkey").cast("string")).alias("src_url"),
+        F.concat(base, F.lit("/part-"), F.col("l_partkey").cast("string")).alias("dst_url"),
+    )
+    return linkgraph.pagerank(edges, iters=3).select(
+        "url", F.col("rank").cast("double").alias("rank")
+    )
+
+
 def q_doc_emails(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F7/A9 EmailMixin token scan (seo.py:587-643): contains '@', not
     a social handle, \\S+@\\S+ — distinct per source row."""
@@ -1344,6 +1363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_parse": q_robots_parse,
         "robots_join": q_robots_join,
         "url_distribution": q_url_distribution,
+        "link_pagerank": q_link_pagerank,
         "doc_emails": q_doc_emails,
         "frontier_reorder": q_frontier_reorder,
         "query_params_map": q_query_params_map,
@@ -2259,6 +2279,41 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(list_sort(list(dst_url)), '|') AS out_links,
                    count(*) AS n_links
             FROM edges GROUP BY src_url
+        """,
+        "link_pagerank": """
+            WITH edges AS (
+              SELECT DISTINCT
+                'https://site' || (l_orderkey % 7) || '.test/order-' || l_orderkey AS src,
+                'https://site' || (l_orderkey % 7) || '.test/part-' || l_partkey AS dst
+              FROM lineitem),
+            nodes AS (SELECT src AS url FROM edges UNION SELECT dst FROM edges),
+            outdeg AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
+            r0 AS (SELECT url, 1.0::DOUBLE AS rank FROM nodes),
+            r1 AS (
+              SELECT n.url,
+                     round(0.15 + 0.85 * coalesce(sum(r0.rank / o.od), 0), 9) AS rank
+              FROM nodes n
+              LEFT JOIN edges e ON e.dst = n.url
+              LEFT JOIN r0 ON r0.url = e.src
+              LEFT JOIN outdeg o ON o.src = e.src
+              GROUP BY n.url),
+            r2 AS (
+              SELECT n.url,
+                     round(0.15 + 0.85 * coalesce(sum(r1.rank / o.od), 0), 9) AS rank
+              FROM nodes n
+              LEFT JOIN edges e ON e.dst = n.url
+              LEFT JOIN r1 ON r1.url = e.src
+              LEFT JOIN outdeg o ON o.src = e.src
+              GROUP BY n.url),
+            r3 AS (
+              SELECT n.url,
+                     round(0.15 + 0.85 * coalesce(sum(r2.rank / o.od), 0), 9) AS rank
+              FROM nodes n
+              LEFT JOIN edges e ON e.dst = n.url
+              LEFT JOIN r2 ON r2.url = e.src
+              LEFT JOIN outdeg o ON o.src = e.src
+              GROUP BY n.url)
+            SELECT url, rank::DOUBLE AS rank FROM r3
         """,
         "doc_emails": """
             WITH texts AS (

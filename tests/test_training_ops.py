@@ -607,3 +607,40 @@ def test_quantized_topk_recall(spark, vectors):
     e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
     g = {(r["query_id"], r["neighbor_id"]) for r in quant.collect()}
     assert len(e & g) / len(e) >= 0.9
+
+
+def test_pagerank_vs_python(spark):
+    """3-iteration PageRank matches a pure-Python oracle of the same
+    (rounded) recurrence, and prioritize_frontier orders by -rank."""
+    from kryptone_spark.operators import linkgraph
+
+    E = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "c"), ("a", "b")]
+    df = spark.createDataFrame(E, "src_url string, dst_url string")
+    got = {r["url"]: r["rank"] for r in linkgraph.pagerank(df, iters=3).collect()}
+
+    edges = sorted(set(E))
+    nodes = sorted({u for e in edges for u in e})
+    out = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    rank = {n: 1.0 for n in nodes}
+    for _ in range(3):
+        inflow = {n: 0.0 for n in nodes}
+        for s, d in edges:
+            inflow[d] += rank[s] / out[s]
+        rank = {n: round(0.15 + 0.85 * inflow[n], 9) for n in nodes}
+    assert got == rank
+    # d has no in-links: floor rank
+    assert got["d"] == 0.15
+
+    frontier = spark.createDataFrame(
+        [(u, "x.test", 0, 0.0) for u in nodes],
+        "url string, domain string, depth int, priority double",
+    )
+    pri = linkgraph.prioritize_frontier(
+        frontier, linkgraph.pagerank(df, iters=3)
+    )
+    rows = {r["url"]: r["priority"] for r in pri.collect()}
+    assert rows == {n: -rank[n] for n in nodes}
+    # highest-rank page schedules first under (priority, url) ordering
+    assert min(rows, key=lambda u: (rows[u], u)) == max(rank, key=lambda u: (rank[u], u))
