@@ -87,6 +87,8 @@ class WaveRunner:
         write_edges: bool = True,
         collect_stats: bool = True,
         global_rank: bool = True,
+        priority: str = "fifo",
+        rank_every: int = 1,
     ):
         self.spark = spark
         self.config = config
@@ -112,6 +114,18 @@ class WaveRunner:
         # keep it; production crawls where per-domain rank is the only
         # ordering politeness needs can turn it off.
         self.global_rank = global_rank
+        # frontier ordering: "fifo" is the reference-parity contract
+        # (priority 0 everywhere → lexicographic within a wave);
+        # "pagerank" is the engine-only link-evidence priority queue —
+        # every `rank_every` waves the accumulated edge graph is
+        # re-ranked (operators/linkgraph.py) and pending URLs fetch in
+        # descending rank order under the same politeness budget.
+        if priority not in ("fifo", "pagerank"):
+            raise ValueError(f"priority must be fifo|pagerank, got {priority!r}")
+        self.priority = priority
+        self.rank_every = max(1, rank_every)
+        self._edges_acc: DataFrame | None = None
+        self._ranks: DataFrame | None = None
         self._offset = 0.0
         # incremental bloom sidecar (use_bloom): built once from the
         # current seen state, then extended with each wave's seen DELTA
@@ -258,6 +272,18 @@ class WaveRunner:
             pending = pending.join(visited.select("url"), "url", "left_anti")
         if blocked is not None:
             pending = pending.join(blocked.select("url"), "url", "left_anti")
+
+        if self.priority == "pagerank":
+            from kryptone_spark.operators import linkgraph
+
+            if self._edges_acc is not None and wave % self.rank_every == 0:
+                # rank over everything discovered so far; checkpoint so
+                # the power-iteration DAG isn't replayed per consumer
+                self._ranks = linkgraph.pagerank(self._edges_acc).localCheckpoint(
+                    eager=False
+                )
+            if self._ranks is not None:
+                pending = linkgraph.prioritize_frontier(pending, self._ranks)
 
         batch, new_blocked = schedule.politeness_schedule(
             pending, self.config, wave, robots=self.robots,
@@ -461,6 +487,11 @@ class WaveRunner:
                 F.lit(wave).alias("wave"), "domain_bucket",
             )
             self._queue_flush("edges", wave, edges, group=wave)
+        if self.priority == "pagerank":
+            e = admitted.select("src_url", F.col("url").alias("dst_url"))
+            self._edges_acc = (
+                e if self._edges_acc is None else self._edges_acc.unionByName(e)
+            )
         # Per-filter cardinality rides the same single-shuffle agg as
         # urls_in/out (conditional sums partial-aggregate map-side); the
         # reason vocabulary is the closed admission set (admission.py

@@ -277,3 +277,51 @@ def test_parse_robots_txt(spark):
     assert rows["http://a.test/img/x.jpg"]["robots_blocked"]
     assert not rows["http://a.test/page"]["robots_blocked"]
     assert rows["http://a.test/page"]["crawl_delay"] == 3.5
+
+
+def test_pagerank_priority_fetches_hub_earlier(spark, tmp_path):
+    """Engine-only priority mode: under a per-wave budget, a page with
+    heavy in-link evidence (hub) is fetched ahead of lexicographically
+    earlier but link-poor pages; coverage (visited set) is unchanged."""
+    def page(url, links):
+        return {
+            "doc_id": url,
+            "spans": [
+                {"kind": "link", "text": "", "media_ref": l, "offset": i}
+                for i, l in enumerate(links)
+            ],
+        }
+
+    base = "http://h.test"
+    site = [
+        page(f"{base}/", [f"{base}/a", f"{base}/b", f"{base}/c", f"{base}/d"]),
+        page(f"{base}/a", [f"{base}/hub"]),
+        page(f"{base}/b", [f"{base}/hub"]),
+        page(f"{base}/c", [f"{base}/hub"]),
+        page(f"{base}/d", [f"{base}/zzz"]),
+        page(f"{base}/hub", []),
+        page(f"{base}/zzz", []),
+    ]
+    config = CrawlConfig(
+        start_urls=[f"{base}/"], max_per_domain_per_wave=2, max_waves=20
+    )
+
+    def fetch_seq(priority):
+        io = TableIO(spark, str(tmp_path / priority))
+        runner = WaveRunner(
+            spark, config, site_df(spark, site), io, priority=priority
+        )
+        runner.run()
+        rows = io.read("fetch_batches").orderBy("wave", "rank_in_wave").collect()
+        return [r["url"] for r in rows], {r["url"] for r in io.read("visited").collect()}
+
+    fifo_order, fifo_visited = fetch_seq("fifo")
+    pr_order, pr_visited = fetch_seq("pagerank")
+    # same coverage, different order
+    assert fifo_visited == pr_visited
+    assert set(fifo_order) == set(pr_order)
+    hub = f"{base}/hub"
+    # fifo drains lexicographically: c, d fetch before hub; with link
+    # evidence (a and b both point at hub) the priority queue pulls hub
+    # forward past at least one of them
+    assert pr_order.index(hub) < fifo_order.index(hub)
