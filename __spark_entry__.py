@@ -1070,6 +1070,82 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _trap_urls_from_orders(orders: DataFrame) -> DataFrame:
+    """Trap-shaped URL corpus from orders (branch = k % 8): path loop,
+    jsessionid path param, session-key query + param minting, calendar
+    archive, runaway length, plus benign shapes. Identical string
+    arithmetic in TRAP_URLS_CTE below."""
+    k = F.col("o_orderkey")
+    ks = k.cast("string")
+    dom = F.concat(F.lit("https://site"), (F.col("o_custkey") % 7).cast("string"), F.lit(".test"))
+    b = k % 8
+    suffix = (
+        F.when(b == 0, F.concat(F.lit("/a/b/a/b/a/b/page-"), ks))
+        .when(b == 1, F.concat(F.lit("/p-"), ks, F.lit(";jsessionid=AB"), ks))
+        .when(b == 2, F.concat(F.lit("/shop?phpsessid=x"), ks, F.lit("&a=1&b=2&c=3&d=4&e=5")))
+        .when(b == 3, F.concat(
+            F.lit("/archive/2020/"), (1 + k % 12).cast("string"),
+            F.lit("/"), (1 + k % 28).cast("string"),
+            F.lit("/2021/"), (1 + (k + 5) % 12).cast("string"),
+            F.lit("/"), (1 + (k + 11) % 28).cast("string"),
+            F.lit("/post-"), ks))
+        .when(b == 4, F.concat(F.lit("/product-"), ks))
+        .when(b == 5, F.lit("/"))
+        .when(b == 6, F.concat(F.lit("/products?page="), (k % 50).cast("string")))
+        .otherwise(F.concat(F.lit("/"), F.repeat(F.lit("x"), 200), F.lit("/item-"), ks))
+    )
+    return orders.select(F.col("o_orderkey").alias("k"), F.concat(dom, suffix).alias("url"))
+
+
+TRAP_URLS_CTE = """
+trap_urls AS (
+  SELECT o_orderkey AS k,
+         'https://site' || (o_custkey % 7) || '.test' ||
+         CASE o_orderkey % 8
+           WHEN 0 THEN '/a/b/a/b/a/b/page-' || o_orderkey
+           WHEN 1 THEN '/p-' || o_orderkey || ';jsessionid=AB' || o_orderkey
+           WHEN 2 THEN '/shop?phpsessid=x' || o_orderkey || '&a=1&b=2&c=3&d=4&e=5'
+           WHEN 3 THEN '/archive/2020/' || (1 + o_orderkey % 12) || '/' || (1 + o_orderkey % 28)
+                       || '/2021/' || (1 + (o_orderkey + 5) % 12) || '/' || (1 + (o_orderkey + 11) % 28)
+                       || '/post-' || o_orderkey
+           WHEN 4 THEN '/product-' || o_orderkey
+           WHEN 5 THEN '/'
+           WHEN 6 THEN '/products?page=' || (o_orderkey % 50)
+           ELSE '/' || repeat('x', 200) || '/item-' || o_orderkey
+         END AS url
+  FROM orders)
+"""
+
+
+def q_url_trap_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-trap detection (operators/traps.py): columnar URL-shape
+    heuristics — path loops, session ids, calendar explosions,
+    parameter minting — scored before admission so trap URLs never
+    reach the seen anti-join. The reference has no trap defense
+    (base.py:292-295 admits every passing URL into an unbounded set).
+    The oracle parses the SAME url strings generically in DuckDB —
+    split/filter/max over list values — so the signal math itself is
+    cross-checked, not the corpus arithmetic."""
+    from kryptone_spark.operators import traps
+
+    urls = _trap_urls_from_orders(_load(spark, sf_dir, "orders"))
+    return traps.trap_signals(urls).select(
+        "k", "url", "path_depth", "max_seg_repeat", "n_numeric_segs",
+        "n_query_params", "has_session_id", "trap_score", "is_trap",
+    )
+
+
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-reputation rollup (operators/domains.py): per-source
+    volume, exact-dup rate, mean quality, mean length, language share —
+    the domain-level gate a CCNet/RefinedWeb-style curation pipeline
+    applies before per-document work. Two-stage agg: (domain, fp)
+    partial first, so the shuffle carries one row per distinct doc."""
+    from kryptone_spark.operators import domains
+
+    return domains.domain_stats(_load(spark, sf_dir, "documents"))
+
+
 def q_route_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4 route dispatch (routing.py:123-131): first-match-wins over an
     ordered regex route table, compiled to a chained CASE — Catalyst
@@ -1374,6 +1450,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_dedup": q_media_dedup,
         "emb_quantize": q_emb_quantize,
         "approx_distinct": q_approx_distinct,
+        "url_trap_score": q_url_trap_score,
+        "domain_stats": q_domain_stats,
     }
 
 
@@ -2188,6 +2266,86 @@ def oracle_sql() -> dict[str, str]:
                         THEN array_to_string(list_transform(x, v -> round(v * 127.0 / mx)::INTEGER), '|')
                         ELSE array_to_string(list_transform(x, v -> 0), '|') END AS q_emb
             FROM m
+        """,
+        "url_trap_score": f"""
+            WITH {TRAP_URLS_CTE.strip()},
+            parts AS (
+              SELECT k, url,
+                     regexp_replace(regexp_extract(url, '^[a-z]+://[^/?#]*([^?#]*)', 1),
+                                    ';[^/]*$', '') AS path,
+                     regexp_extract(regexp_extract(url, '^[a-z]+://[^/?#]*([^?#]*)', 1),
+                                    ';([^/]*)$', 1) AS pparams,
+                     regexp_extract(url, '[?]([^#]*)', 1) AS query
+              FROM trap_urls),
+            segs AS (
+              SELECT k, url, pparams, query,
+                     list_filter(string_split(path, '/'), s -> s <> '') AS seg
+              FROM parts),
+            sig AS (
+              SELECT k, url,
+                     len(seg)::INTEGER AS path_depth,
+                     (CASE WHEN len(seg) = 0 THEN 0
+                           ELSE list_max(list_transform(seg,
+                                s -> len(list_filter(seg, x -> x = s))))
+                      END)::INTEGER AS max_seg_repeat,
+                     len(list_filter(seg, s -> regexp_matches(s, '^[0-9]+$')))::INTEGER
+                         AS n_numeric_segs,
+                     (CASE WHEN query = '' THEN 0
+                           ELSE len(list_filter(string_split(query, '&'), kv -> kv <> ''))
+                      END)::INTEGER AS n_query_params,
+                     ((pparams <> '' AND lower(split_part(pparams, '=', 1)) IN
+                        ('sid','sessionid','session_id','phpsessid','jsessionid',
+                         'cfid','cftoken','aspsessionid','zenid'))
+                      OR len(list_filter(string_split(lower(query), '&'),
+                             kv -> kv <> '' AND split_part(kv, '=', 1) IN
+                               ('sid','sessionid','session_id','phpsessid','jsessionid',
+                                'cfid','cftoken','aspsessionid','zenid'))) > 0)
+                         AS has_session_id,
+                     length(url)::INTEGER AS url_len
+              FROM segs)
+            SELECT k, url, path_depth, max_seg_repeat, n_numeric_segs,
+                   n_query_params, has_session_id,
+                   ((CASE WHEN max_seg_repeat >= 3 THEN 2 ELSE 0 END)
+                    + (CASE WHEN has_session_id THEN 2 ELSE 0 END)
+                    + (CASE WHEN path_depth >= 8 THEN 1 ELSE 0 END)
+                    + (CASE WHEN n_numeric_segs >= 4 THEN 1 ELSE 0 END)
+                    + (CASE WHEN n_query_params >= 6 THEN 1 ELSE 0 END)
+                    + (CASE WHEN url_len >= 200 THEN 1 ELSE 0 END))::INTEGER AS trap_score,
+                   ((CASE WHEN max_seg_repeat >= 3 THEN 2 ELSE 0 END)
+                    + (CASE WHEN has_session_id THEN 2 ELSE 0 END)
+                    + (CASE WHEN path_depth >= 8 THEN 1 ELSE 0 END)
+                    + (CASE WHEN n_numeric_segs >= 4 THEN 1 ELSE 0 END)
+                    + (CASE WHEN n_query_params >= 6 THEN 1 ELSE 0 END)
+                    + (CASE WHEN url_len >= 200 THEN 1 ELSE 0 END)) >= 2 AS is_trap
+            FROM sig
+        """,
+        "domain_stats": """
+            WITH per_doc AS (
+              SELECT source AS domain,
+                     md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+                     round(0.4 * least(length(text) / 500.0, 1.0)
+                         + 0.4 * least((CASE WHEN len(string_split_regex(lower(text), '\\s+')) > 0
+                                             THEN len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                                  t -> t IN ('the','of','and','a','to','in','is','it','you','that','was','for','on','are','as','with','his','they','at')))::DOUBLE
+                                                  / len(string_split_regex(lower(text), '\\s+'))
+                                             ELSE 0 END) * 4.0, 1.0)
+                         + 0.2 * (1.0 - least(((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE
+                                               / greatest(length(text), 1)) * 5.0, 1.0)), 6) AS q,
+                     length(text) AS nc,
+                     CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS en
+              FROM documents),
+            s1 AS (
+              SELECT domain, fp, count(*) AS n, sum(q) AS sum_q,
+                     sum(nc) AS sum_nc, sum(en) AS sum_en
+              FROM per_doc GROUP BY domain, fp)
+            SELECT domain,
+                   sum(n)::BIGINT AS n_docs,
+                   count(*)::BIGINT AS n_distinct,
+                   round(1.0 - count(*)::DOUBLE / sum(n)::DOUBLE, 6) AS dup_rate,
+                   round(sum(sum_q)::DOUBLE / sum(n)::DOUBLE, 6) AS avg_quality,
+                   round(sum(sum_nc)::DOUBLE / sum(n)::DOUBLE, 6) AS avg_chars,
+                   round(sum(sum_en)::DOUBLE / sum(n)::DOUBLE, 6) AS en_share
+            FROM s1 GROUP BY domain
         """,
         "route_dispatch": f"""
             WITH {URLS_CTE.strip()}

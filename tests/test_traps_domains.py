@@ -1,0 +1,104 @@
+"""Crawl-trap detection (operators/traps.py) + domain reputation
+rollup (operators/domains.py): value tests against hand-computed
+expectations and plan-shape pins for the 100 TB promises (trap scoring
+is shuffle-free; domain_stats never plans a distinct-agg Expand; the
+domain filter dim is broadcast)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kryptone_spark.operators import domains, traps
+from tests.test_plans import plan_of
+
+TRAP_URLS = [
+    # (url, depth, rep, numeric, params, session, score)
+    ("https://a.test/a/b/a/b/a/b/page-1", 7, 3, 0, 0, False, 2),
+    ("https://a.test/p-5;jsessionid=AB5", 1, 1, 0, 0, True, 2),
+    ("https://a.test/shop?phpsessid=x&a=1&b=2&c=3&d=4&e=5", 1, 1, 0, 6, True, 3),
+    ("https://a.test/archive/2020/3/7/2021/4/9/post-1", 8, 1, 6, 0, False, 2),
+    ("https://a.test/product-9", 1, 1, 0, 0, False, 0),
+    ("https://a.test/", 0, 0, 0, 0, False, 0),
+    ("https://a.test/products?page=4", 1, 1, 0, 1, False, 0),
+    ("https://a.test/" + "x" * 200, 1, 1, 0, 0, False, 1),
+]
+
+
+@pytest.fixture(scope="module")
+def trap_df(spark):
+    return spark.createDataFrame([(u[0],) for u in TRAP_URLS], ["url"])
+
+
+def test_trap_signal_values(spark, trap_df):
+    rows = {
+        r.url: r
+        for r in traps.trap_signals(trap_df).collect()
+    }
+    for url, depth, rep, numeric, params, session, score in TRAP_URLS:
+        r = rows[url]
+        assert (
+            r.path_depth, r.max_seg_repeat, r.n_numeric_segs,
+            r.n_query_params, r.has_session_id, r.trap_score,
+        ) == (depth, rep, numeric, params, session, score), url
+        assert r.is_trap == (score >= traps.DEFAULT_TRAP_THRESHOLD)
+
+
+def test_trap_filter_keeps_schema_and_drops_traps(spark, trap_df):
+    out = traps.trap_filter(trap_df)
+    assert out.columns == ["url"]
+    kept = {r.url for r in out.collect()}
+    expected = {u for u, *_, score in TRAP_URLS if score < 2}
+    assert kept == expected
+
+
+def test_trap_scoring_is_shuffle_free(spark, trap_df):
+    """The whole signal projection must plan without an Exchange —
+    it runs at scan speed as a pre-admission gate."""
+    plan = plan_of(traps.trap_signals(trap_df))
+    assert "Exchange" not in plan
+
+
+DOCS = [
+    ("d1", "hello world the and of a to in is", "en", "s1"),
+    ("d2", "hello   world the and of a to in is", "en", "s1"),  # ws-normalized dup of d1
+    ("d3", "a genuinely different body with the of and", "en", "s1"),
+    ("d4", "autre texte sans anglais", "fr", "s2"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text", "lang", "source"])
+
+
+def test_domain_stats_values(spark, docs_df):
+    rows = {r.domain: r for r in domains.domain_stats(docs_df).collect()}
+    s1, s2 = rows["s1"], rows["s2"]
+    assert (s1.n_docs, s1.n_distinct) == (3, 2)  # d1/d2 collapse on fp
+    assert s1.dup_rate == pytest.approx(1 - 2 / 3, abs=1e-6)
+    assert s1.en_share == 1.0
+    assert (s2.n_docs, s2.n_distinct, s2.dup_rate, s2.en_share) == (1, 1, 0.0, 0.0)
+    # avg_quality equals the mean of the per-doc rounded scores
+    from kryptone_spark.functions import text as TXT
+
+    q = [
+        r.q
+        for r in docs_df.select(TXT.quality_score(F.col("text")).alias("q")).collect()
+    ]
+    assert s1.avg_quality == pytest.approx(round(sum(q[:3]) / 3, 6), abs=1e-6)
+
+
+def test_domain_stats_plans_without_expand(spark, docs_df):
+    """The dup-rate distinct count must come from the two-stage
+    (domain, fp) aggregation, NOT a countDistinct Expand (which
+    doubles the shuffle width at corpus scale)."""
+    plan = plan_of(domains.domain_stats(docs_df))
+    assert "Expand" not in plan
+
+
+def test_domain_filter_broadcasts_the_dim(spark, docs_df):
+    stats = domains.domain_stats(docs_df)
+    out = domains.domain_filter(docs_df, stats, max_dup_rate=0.2)
+    assert "BroadcastHashJoin" in plan_of(out)
+    assert {r.doc_id for r in out.collect()} == {"d4"}
