@@ -101,6 +101,13 @@ class CrawlConfig:
     # frontier would otherwise rank in a single task; 0/1 disables.
     salt_buckets: int | None = None
 
+    # crawl-trap defense (engine-only; the reference admits every
+    # passing URL into an unbounded set, base.py:292-295). None = off
+    # (reference parity). An int drops candidates with trap_score >=
+    # threshold BEFORE admission, so trapped URLs never reach the seen
+    # set or cost a bloom probe (operators/traps.py).
+    trap_threshold: int | None = None
+
     # canonicalization: "parity" reproduces the reference's observable
     # URL identity (resolved string, fragments *rejected* not stripped);
     # "full" is the north-rule canonicalizer (strip fragment/tracking

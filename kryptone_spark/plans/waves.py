@@ -352,6 +352,14 @@ class WaveRunner:
             .select("src_url", F.col("s.media_ref").alias("url"))
         )
 
+        # trap gate (opt-in, engine-only): like gather_filter, dropped
+        # URLs never reach the seen set — and being pre-admission, they
+        # never cost a bloom probe either. Shuffle-free projection.
+        if self.config.trap_threshold is not None:
+            from kryptone_spark.operators.traps import trap_filter
+
+            links = trap_filter(links, threshold=self.config.trap_threshold)
+
         # home page admissible only from the first-ever processed page
         # (iteration_count semantics, base.py:706-717); the politeness
         # window orders by url, so rank_in_wave 0 == min(url).

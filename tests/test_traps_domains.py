@@ -102,3 +102,66 @@ def test_domain_filter_broadcasts_the_dim(spark, docs_df):
     out = domains.domain_filter(docs_df, stats, max_dup_rate=0.2)
     assert "BroadcastHashJoin" in plan_of(out)
     assert {r.doc_id for r in out.collect()} == {"d4"}
+
+
+def _trap_site(spark):
+    """Tiny site whose /p1 page mints trap URLs (path loop + session
+    id) alongside one real link."""
+    from kryptone_spark.synth import site_df
+
+    def page(url, links):
+        return {
+            "doc_id": url,
+            "spans": [
+                {"kind": "text", "text": f"body of {url}", "media_ref": "", "offset": 0}
+            ]
+            + [
+                {"kind": "link", "text": "l", "media_ref": l, "offset": i + 1}
+                for i, l in enumerate(links)
+            ],
+        }
+
+    base = "http://sitea.test"
+    rows = [
+        page(f"{base}/", [f"{base}/p1", f"{base}/p2", f"{base}/cal"]),
+        page(f"{base}/p1", [
+            f"{base}/a/b/a/b/a/b/t1",
+            f"{base}/x;jsessionid=Z1",
+            f"{base}/p3",
+        ]),
+        page(f"{base}/p2", []),
+        page(f"{base}/p3", []),
+        page(f"{base}/cal", []),
+    ]
+    return site_df(spark, rows)
+
+
+TRAP_SITE_URLS = {"http://sitea.test/a/b/a/b/a/b/t1", "http://sitea.test/x;jsessionid=Z1"}
+
+
+def _crawl(spark, docs, tmpdir, **config_kw):
+    from kryptone_spark.config import CrawlConfig
+    from kryptone_spark.plans.tableio import TableIO
+    from kryptone_spark.plans.waves import WaveRunner
+
+    config = CrawlConfig(start_urls=["http://sitea.test/"], **config_kw)
+    io = TableIO(spark, str(tmpdir))
+    WaveRunner(spark, config, docs, io).run()
+    fetched = {r.url for r in io.read("fetch_batches").collect()}
+    seen = {r.url for r in io.read("seen").collect()}
+    return fetched, seen
+
+
+def test_wave_loop_trap_gate(spark, tmp_path):
+    docs = _trap_site(spark)
+    # gate ON: trap URLs are neither fetched nor ever enter seen
+    fetched, seen = _crawl(spark, docs, tmp_path / "on", trap_threshold=2)
+    assert fetched == {
+        "http://sitea.test/", "http://sitea.test/p1", "http://sitea.test/p2",
+        "http://sitea.test/cal", "http://sitea.test/p3",
+    }
+    assert not (seen & TRAP_SITE_URLS)
+    # default (reference parity): traps are admitted like any URL
+    fetched_off, seen_off = _crawl(spark, docs, tmp_path / "off")
+    assert TRAP_SITE_URLS <= seen_off
+    assert TRAP_SITE_URLS <= fetched_off
