@@ -728,6 +728,46 @@ def q_spans_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract.span_audit(corrupted)
 
 
+def q_interleave_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaving-mix profile (OBELICS-style composition stats) over
+    VARIABLE interleaved docs: span templates kept/dropped by doc_id
+    arithmetic so media density, alt coverage, leading/trailing kind
+    and text-run length all vary. The oracle rebuilds the same span
+    lists in DuckDB and re-derives every stat generically (the
+    max-text-run via non-text boundary gaps) — so the operator's fold
+    math is cross-checked, not the corpus arithmetic."""
+    from kryptone_spark.operators import extract
+
+    d = _load(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("long")
+    ds = F.col("doc_id").cast("string")
+    mk = lambda kind, text, ref, off: F.struct(
+        F.lit(kind).alias("kind"), text.alias("text"),
+        ref.alias("media_ref"), F.lit(off).cast("int").alias("offset"),
+    )
+    all_spans = F.array(
+        mk("text", F.substring("text", 1, 30), F.lit(""), 0),
+        mk("image",
+           F.when(did % 4 == 0, F.lit("")).otherwise(F.concat(F.lit("alt-"), ds)),
+           F.concat(F.lit("https://img.test/i-"), ds, F.lit(".jpg")), 1),
+        mk("text", F.substring("text", 31, 25), F.lit(""), 2),
+        mk("link", F.lit("next"),
+           F.concat(F.lit("https://docs.test/doc-"), ((did + 1) % 500).cast("string")), 3),
+        mk("image", F.lit(""),
+           F.concat(F.lit("https://img.test/j-"), ds, F.lit(".jpg")), 4),
+        mk("email", F.concat(F.lit("c"), ds, F.lit("@docs.test")), F.lit(""), 5),
+    )
+    keep = lambda sp: (
+        F.when(sp["offset"] == 0, did % 7 != 0)
+        .when(sp["offset"] == 1, did % 2 == 0)
+        .when(sp["offset"] == 4, did % 3 == 0)
+        .when(sp["offset"] == 5, did % 5 == 0)
+        .otherwise(F.lit(True))
+    )
+    docs = d.select(ds.alias("doc_id"), F.filter(all_spans, keep).alias("spans"))
+    return extract.interleave_profile(docs)
+
+
 def q_seo_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SEO page-audit flags (contrib/seo.py:431-529) over deterministic
     interleaved pages synthesized from the documents table: head title
@@ -1426,6 +1466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_label_norms": q_emb_label_norms,
         "doc_spans_extract": q_doc_spans_extract,
         "spans_audit": q_spans_audit,
+        "interleave_profile": q_interleave_profile,
         "seo_audit": q_seo_audit,
         "docs_stemmed_topk": q_docs_stemmed_topk,
         "product_models": q_product_models,
@@ -2141,6 +2182,53 @@ def oracle_sql() -> dict[str, str]:
             SELECT label, count(*) AS n,
                    round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS avg_norm
             FROM embeddings GROUP BY label
+        """,
+        "interleave_profile": """
+            WITH sp AS (
+              SELECT doc_id::VARCHAR AS doc_id,
+                     list_filter([
+                       struct_pack(kind := 'text',
+                                   txt := substr(text, 1, 30),
+                                   off := 0),
+                       struct_pack(kind := 'image',
+                                   txt := CASE WHEN doc_id % 4 = 0 THEN ''
+                                               ELSE 'alt-' || doc_id END,
+                                   off := 1),
+                       struct_pack(kind := 'text',
+                                   txt := substr(text, 31, 25),
+                                   off := 2),
+                       struct_pack(kind := 'link', txt := 'next', off := 3),
+                       struct_pack(kind := 'image', txt := '', off := 4),
+                       struct_pack(kind := 'email',
+                                   txt := 'c' || doc_id || '@docs.test',
+                                   off := 5)
+                     ], s -> CASE s.off
+                               WHEN 0 THEN doc_id % 7 <> 0
+                               WHEN 1 THEN doc_id % 2 = 0
+                               WHEN 4 THEN doc_id % 3 = 0
+                               WHEN 5 THEN doc_id % 5 = 0
+                               ELSE true END) AS spans
+              FROM documents),
+            b AS (
+              SELECT doc_id, spans,
+                     len(spans) AS n,
+                     len(list_filter(spans, s -> s.kind = 'image')) AS ni,
+                     len(list_filter(spans, s -> s.kind = 'image' AND s.txt <> '')) AS nalt,
+                     list_concat(list_concat(
+                       [0],
+                       list_filter(list_transform(spans,
+                           (s, i) -> CASE WHEN s.kind <> 'text' THEN i END),
+                         v -> v IS NOT NULL)),
+                       [len(spans) + 1]) AS bounds
+              FROM sp)
+            SELECT doc_id,
+                   round(CASE WHEN n > 0 THEN ni::DOUBLE / n ELSE 0.0 END, 6) AS media_ratio,
+                   CASE WHEN ni > 0 THEN round(nalt::DOUBLE / ni, 6) END AS image_alt_coverage,
+                   (n > 0 AND spans[1].kind = 'text') AS starts_with_text,
+                   (n > 0 AND spans[n].kind = 'image') AS ends_with_media,
+                   list_max(list_transform(generate_series(1, len(bounds) - 1),
+                       i -> bounds[i + 1] - bounds[i] - 1))::INTEGER AS max_text_run
+            FROM b
         """,
         "seo_audit": """
             WITH s AS (

@@ -176,3 +176,45 @@ def span_audit(documents: DataFrame, spans_col: str = "spans") -> DataFrame:
         (F.size(bad_refs) == 0).alias("media_ref_ok"),
         text_chars.alias("text_chars"),
     )
+
+
+def interleave_profile(documents: DataFrame, spans_col: str = "spans") -> DataFrame:
+    """Interleaving-mix profile over the north-rule input shape — the
+    curation view an interleaved image-text corpus needs (the OBELICS
+    paper's document-composition statistics, public): how media-dense
+    a document is, whether images carry alt text, how it opens and
+    closes, and the longest uninterrupted text run (the context-window
+    packing signal).
+
+    Complements ``span_audit`` (integrity) with *composition*:
+    ``media_ratio`` (image spans / spans), ``image_alt_coverage``
+    (NULL when no images — distinct from 0.0 = all alt-less),
+    ``starts_with_text`` / ``ends_with_media``, ``max_text_run``
+    (longest consecutive text-span run, via a single aggregate fold).
+    One pure-HOF projection: no explode, no shuffle, scan-bound at
+    100 TB."""
+    s = F.col(spans_col)
+    n = F.size(s)
+    n_img = F.size(F.filter(s, lambda sp: sp["kind"] == "image"))
+    with_alt = F.size(
+        F.filter(s, lambda sp: (sp["kind"] == "image") & (sp["text"] != ""))
+    )
+    run0 = F.struct(F.lit(0).alias("run"), F.lit(0).alias("best"))
+
+    def _merge(a, sp):
+        run = F.when(sp["kind"] == "text", a["run"] + 1).otherwise(F.lit(0))
+        return F.struct(run.alias("run"), F.greatest(a["best"], run).alias("best"))
+
+    max_text_run = F.aggregate(s, run0, _merge, lambda a: a["best"]).cast("int")
+    return documents.select(
+        "doc_id",
+        F.round(
+            F.when(n > 0, n_img.cast("double") / n.cast("double")).otherwise(0.0), 6
+        ).alias("media_ratio"),
+        F.when(
+            n_img > 0, F.round(with_alt.cast("double") / n_img.cast("double"), 6)
+        ).alias("image_alt_coverage"),
+        ((n > 0) & (F.element_at(s, 1)["kind"] == "text")).alias("starts_with_text"),
+        ((n > 0) & (F.element_at(s, -1)["kind"] == "image")).alias("ends_with_media"),
+        max_text_run.alias("max_text_run"),
+    )

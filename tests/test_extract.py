@@ -278,3 +278,51 @@ def test_span_audit(spark):
     assert not got["no_ref"]["media_ref_ok"]
     assert got["empty"]["n_spans"] == 0 and got["empty"]["offsets_monotonic"]
     assert got["empty"]["media_ref_ok"] and got["empty"]["text_chars"] == 0
+
+
+def test_interleave_profile(spark):
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("spans", T.ArrayType(T.StructType([
+            T.StructField("kind", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("media_ref", T.StringType()),
+            T.StructField("offset", T.IntegerType()),
+        ]))),
+    ])
+    rows = [
+        # text,text,image(alt),text,text,text → run 3, ratio 1/6
+        ("runs", [("text", "a", "", 0), ("text", "b", "", 1),
+                  ("image", "alt", "i.jpg", 2), ("text", "c", "", 3),
+                  ("text", "d", "", 4), ("text", "e", "", 5)]),
+        # image-led, image-closed, one alt-less of two images
+        ("media", [("image", "", "i.jpg", 0), ("text", "t", "", 1),
+                   ("image", "alt", "j.jpg", 2)]),
+        ("textonly", [("text", "x", "", 0)]),
+        ("empty", []),
+    ]
+    got = {
+        r["doc_id"]: r
+        for r in extract.interleave_profile(spark.createDataFrame(rows, schema)).collect()
+    }
+    r = got["runs"]
+    assert r["max_text_run"] == 3
+    assert r["media_ratio"] == pytest.approx(round(1 / 6, 6))
+    assert r["image_alt_coverage"] == 1.0
+    assert r["starts_with_text"] and not r["ends_with_media"]
+    m = got["media"]
+    assert (m["max_text_run"], m["image_alt_coverage"]) == (1, 0.5)
+    assert not m["starts_with_text"] and m["ends_with_media"]
+    t = got["textonly"]
+    assert t["image_alt_coverage"] is None and t["media_ratio"] == 0.0
+    e = got["empty"]
+    assert (e["max_text_run"], e["media_ratio"]) == (0, 0.0)
+    assert not e["starts_with_text"] and not e["ends_with_media"]
+    # composition profile is a pure projection — no shuffle
+    from tests.test_plans import plan_of
+
+    assert "Exchange" not in plan_of(
+        extract.interleave_profile(spark.createDataFrame(rows, schema))
+    )
