@@ -1297,6 +1297,59 @@ def q_robots_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_robots_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 robots matching (engine upgrade over J6's prefix
+    subset): '*' wildcards, '$' anchors, Allow/Disallow with
+    longest-pattern precedence, matched against path+query — evaluated
+    as a native aggregate fold (no regex, no Python) over a broadcast
+    rules dim. The oracle restates the matcher with DuckDB's GLOB
+    (pattern||'*' for unanchored prefix-embedding, stripped '$' for
+    full-match anchoring) and the precedence with a window — an
+    independent formulation of the same RFC semantics. Rule patterns
+    avoid GLOB-special '?'/'[' so both formulations are comparable."""
+    from kryptone_spark.config import CrawlConfig
+    from kryptone_spark.functions import urls as U
+    from kryptone_spark.operators import schedule
+
+    urls = _urls_from_orders(_load(spark, sf_dir, "orders"))
+    pending = urls.select("k", "url", U.host(F.col("url")).alias("domain"))
+    rules_schema = (
+        "domain string, rules array<struct<allow:boolean,pattern:string>>, "
+        "crawl_delay double"
+    )
+    robots = spark.createDataFrame(
+        [
+            ("site0.test", [(False, "/img/*"), (True, "/img/photo-1*")], 2.0),
+            ("site1.test", [(False, "/*.jpg$")], 3.0),
+            ("site2.test", [(False, "/product"), (True, "/products")], None),
+            ("site3.test", [(False, "/*page=*")], 4.0),
+            ("site4.test", [(True, "/"), (False, "/product-4")], None),
+            ("site6.test", [(False, "/"), (True, "/*page=")], 1.5),
+        ],
+        rules_schema,
+    )
+    out = schedule.with_robots_rep(pending, robots, CrawlConfig(wait_time=25.0))
+    return out.select("k", "url", "robots_blocked", F.col("crawl_delay").cast("double"))
+
+
+ROBOTS_REP_RULES_CTE = """
+rep_rules(domain, allow, pattern) AS (VALUES
+  ('site0.test', false, '/img/*'),
+  ('site0.test', true,  '/img/photo-1*'),
+  ('site1.test', false, '/*.jpg$'),
+  ('site2.test', false, '/product'),
+  ('site2.test', true,  '/products'),
+  ('site3.test', false, '/*page=*'),
+  ('site4.test', true,  '/'),
+  ('site4.test', false, '/product-4'),
+  ('site6.test', false, '/'),
+  ('site6.test', true,  '/*page=')),
+rep_delays(domain, delay) AS (VALUES
+  ('site0.test', 2.0), ('site1.test', 3.0), ('site2.test', NULL),
+  ('site3.test', 4.0), ('site4.test', NULL), ('site6.test', 1.5))
+"""
+
+
 def q_url_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3/J5 url_distribution (base.py:312,502): page → sorted out-link
     list + degree, over an edge table synthesized from lineitem."""
@@ -1467,6 +1520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_spans_extract": q_doc_spans_extract,
         "spans_audit": q_spans_audit,
         "interleave_profile": q_interleave_profile,
+        "robots_rep": q_robots_rep,
         "seo_audit": q_seo_audit,
         "docs_stemmed_topk": q_docs_stemmed_topk,
         "product_models": q_product_models,
@@ -2182,6 +2236,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT label, count(*) AS n,
                    round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS avg_norm
             FROM embeddings GROUP BY label
+        """,
+        "robots_rep": f"""
+            WITH {URLS_CTE.strip()},
+            {ROBOTS_REP_RULES_CTE.strip()},
+            t AS (
+              SELECT k, url,
+                     CASE WHEN k % 10 = 3 THEN 'offsite.example'
+                          ELSE 'site' || dn || '.test' END AS domain,
+                     regexp_extract(url, '^[a-z]+://[^/?#]*([^#]*)', 1) AS target
+              FROM urls),
+            m AS (
+              SELECT t.k, t.url, t.domain, r.allow, r.pattern
+              FROM t LEFT JOIN rep_rules r ON t.domain = r.domain AND
+                (CASE WHEN r.pattern LIKE '%$'
+                      THEN t.target GLOB substr(r.pattern, 1, length(r.pattern) - 1)
+                      ELSE t.target GLOB (r.pattern || '*') END)),
+            mm AS (
+              SELECT k, url, domain, allow, pattern,
+                     max(length(pattern)) OVER (PARTITION BY k) AS best
+              FROM m),
+            v AS (
+              SELECT k, url, domain,
+                     CASE WHEN count(pattern) = 0 THEN false
+                          ELSE NOT coalesce(bool_or(allow AND length(pattern) = best), false)
+                     END AS robots_blocked
+              FROM mm GROUP BY k, url, domain)
+            SELECT v.k, v.url, v.robots_blocked,
+                   coalesce(d.delay, 25.0)::DOUBLE AS crawl_delay
+            FROM v LEFT JOIN rep_delays d ON v.domain = d.domain
         """,
         "interleave_profile": """
             WITH sp AS (

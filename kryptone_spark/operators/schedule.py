@@ -194,3 +194,157 @@ def parse_robots_txt(
         disallow.alias("disallow"),
         crawl_delay.alias("crawl_delay"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RFC 9309 (REP) matching — wildcards, anchors, Allow precedence
+# ---------------------------------------------------------------------------
+
+def rep_target(url: Column) -> Column:
+    """The string REP rules match against: path + optional query,
+    fragment excluded (RFC 9309 §2.2.2 matches the path-and-query part
+    of the URI). Extracted with the same appendix-B split the URL
+    parser uses; ';params' stay in (REP has no params concept)."""
+    cleaned = F.translate(url, "\t\r\n", "")
+    return F.regexp_extract(cleaned, r"(?s)^(?:[a-zA-Z][a-zA-Z0-9+.\-]*:)?(?://[^/?#]*)?([^#]*)", 1)
+
+
+def rep_match(target: Column, pattern: Column) -> Column:
+    """Does a REP rule pattern match ``target``? Native columnar glob:
+    '*' matches any run, a trailing '$' anchors at end-of-string, and
+    an unanchored pattern matches any PREFIX-embedding (RFC 9309
+    §2.2.3). No regex and no Python: the pattern is split on '*' and
+    the parts are placed greedily in order with ``locate`` inside one
+    aggregate fold (greedy-leftmost placement decides embedding
+    exactly); for anchored patterns the last part is pinned to the end
+    and the head parts match in the remaining prefix. Works with a
+    per-ROW pattern column, which rlike cannot (and per-row Java regex
+    compilation is banned from the hot path anyway)."""
+    anchored = pattern.endswith("$")
+    core = F.when(
+        anchored, F.substring(pattern, 1, (F.length(pattern) - 1).cast("int"))
+    ).otherwise(pattern)
+    parts = F.split(core, r"\*", -1)
+    n = F.size(parts)
+    last = F.element_at(parts, -1)
+    hay = F.when(
+        anchored,
+        F.substring(target, 1, (F.length(target) - F.length(last)).cast("int")),
+    ).otherwise(target)
+    head = F.when(anchored, F.slice(parts, 1, n - 1)).otherwise(parts)
+    tail_ok = F.when(anchored, target.endswith(last)).otherwise(F.lit(True))
+
+    state0 = F.struct(
+        F.lit(0).alias("pos"), F.lit(True).alias("ok"), F.lit(True).alias("first")
+    )
+
+    def step(a, p):
+        # empty part ('**', leading/trailing '*'): consumes nothing,
+        # but clears `first` so later parts are free-floating
+        idx = F.call_function("locate", p, hay, a["pos"] + 1)
+        ok_i = F.when(a["first"], hay.startswith(p)).otherwise(idx > 0)
+        pos_i = F.when(a["first"], F.length(p)).otherwise(idx - 1 + F.length(p))
+        return F.when(
+            p == "",
+            F.struct(a["pos"].alias("pos"), a["ok"].alias("ok"), F.lit(False).alias("first")),
+        ).otherwise(
+            F.struct(
+                pos_i.alias("pos"), (a["ok"] & ok_i).alias("ok"), F.lit(False).alias("first")
+            )
+        )
+
+    placed = F.aggregate(head, state0, step, lambda a: a["ok"])
+    # single-part anchored ('fish$'): the one part is both the start
+    # anchor and the end anchor — head is empty, so neither fold nor
+    # tail_ok enforces the prefix; the target must BE the core. The
+    # bare-'$' degenerate (empty core) falls out of the same equality.
+    return F.when(anchored & (n == 1), target == core).otherwise(placed & tail_ok)
+
+
+def rep_blocked(target: Column, rules: Column) -> Column:
+    """REP verdict for one URL against a domain's rule list
+    (``array<struct<allow boolean, pattern string>>``): the
+    longest-pattern matching rule wins; on a tie Allow wins; no
+    matching rule = allowed (RFC 9309 §2.2.2 precedence)."""
+    matching = F.filter(rules, lambda r: rep_match(target, r["pattern"]))
+    best = F.array_max(F.transform(matching, lambda r: F.length(r["pattern"])))
+    allow_at_best = F.exists(
+        matching, lambda r: r["allow"] & (F.length(r["pattern"]) == best)
+    )
+    return F.when(F.size(matching) == 0, F.lit(False)).otherwise(~allow_at_best)
+
+
+def parse_robots_rep(
+    df: DataFrame,
+    domain_col: str = "domain",
+    text_col: str = "robots_txt",
+    agent: str = "*",
+) -> DataFrame:
+    """``parse_robots`` upgraded to the full RFC 9309 rule model:
+    emits (domain, rules array<struct<allow boolean, pattern string>>,
+    crawl_delay double), keeping Allow AND Disallow lines (empty
+    values dropped — an empty Disallow is allow-all). Same
+    section-scoped split/filter/transform shape: one projection, no
+    shuffle, no Python."""
+    s = F.col(text_col)
+    sections = F.split(F.regexp_replace(s, "\r\n", "\n"), "User-agent:")
+    target_sec = F.filter(
+        sections,
+        lambda sec: F.trim(F.element_at(F.split(sec, "\n"), 1)) == agent,
+    )
+    body = F.when(F.size(target_sec) > 0, F.element_at(target_sec, 1)).otherwise(F.lit(""))
+    lines = F.transform(F.split(body, "\n"), lambda ln: F.trim(ln))
+    directive = lambda name: F.transform(
+        F.filter(lines, lambda ln: ln.startswith(name + ":")),
+        lambda ln: F.trim(F.substring(ln, len(name) + 2, 100000)),
+    )
+    rule = lambda allow, v: F.struct(F.lit(allow).alias("allow"), v.alias("pattern"))
+    # NB 'Disallow' startswith check runs before 'Allow' can — but
+    # startswith('Allow:') never matches a Disallow line, so the two
+    # directive() pulls are disjoint by construction.
+    rules = F.concat(
+        F.transform(F.filter(directive("Allow"), lambda v: v != ""),
+                    lambda v: rule(True, v)),
+        F.transform(F.filter(directive("Disallow"), lambda v: v != ""),
+                    lambda v: rule(False, v)),
+    )
+    delay_vals = directive("Crawl-delay")
+    crawl_delay = F.when(
+        F.size(delay_vals) > 0,
+        F.element_at(delay_vals, 1).try_cast("double"),
+    )
+    return df.select(
+        F.col(domain_col).alias("domain"),
+        rules.alias("rules"),
+        crawl_delay.alias("crawl_delay"),
+    )
+
+
+def with_robots_rep(
+    pending: DataFrame, robots: DataFrame | None, config: CrawlConfig
+) -> DataFrame:
+    """``with_robots`` with RFC 9309 semantics: broadcast the per-domain
+    rules dim, evaluate the wildcard/anchor/Allow-precedence verdict in
+    one codegen projection over the (huge) pending side. Same output
+    contract (``robots_blocked`` + effective ``crawl_delay``)."""
+    if robots is None:
+        return pending.withColumn("robots_blocked", F.lit(False)).withColumn(
+            "crawl_delay", F.lit(float(config.wait_time))
+        )
+    r = robots.select(
+        "domain",
+        F.col("rules").alias("__rules"),
+        F.col("crawl_delay").alias("__rdelay"),
+    )
+    out = pending.join(F.broadcast(r), "domain", "left")
+    empty = F.array().cast("array<struct<allow:boolean,pattern:string>>")
+    blocked = rep_blocked(
+        rep_target(F.col("url")), F.coalesce(F.col("__rules"), empty)
+    )
+    return (
+        out.withColumn("robots_blocked", F.coalesce(blocked, F.lit(False)))
+        .withColumn(
+            "crawl_delay", F.coalesce(F.col("__rdelay"), F.lit(float(config.wait_time)))
+        )
+        .drop("__rules", "__rdelay")
+    )

@@ -1,0 +1,127 @@
+"""RFC 9309 robots matching (schedule.rep_match / rep_blocked /
+parse_robots_rep / with_robots_rep): the native glob fold is checked
+against an independent Python regex formulation over a pattern×target
+grid, precedence against hand cases, and the parser + broadcast join
+end-to-end."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from kryptone_spark.config import CrawlConfig
+from kryptone_spark.operators import schedule
+from tests.test_plans import plan_of
+
+PATTERNS = [
+    "/fish", "/fish*", "/fish*.php$", "/*.php$", "*fish", "/",
+    "/*/p", "/a*b*c$", "/p*", "*", "/a**b", "/products*page=",
+    "fish$", "/fish*fish", "/*/*/", "$",
+]
+
+TARGETS = [
+    "/fish", "/fishheads", "/fish.php", "/fish-headache.php", "/catfish",
+    "/a.php.php", "/a.php.html", "/", "/x/p", "/x/y/p", "/abYbc", "/abc",
+    "/aXbYc", "/products?page=3", "/page", "", "/fish/salad", "/fish.PHP",
+    "/fishXfish", "/x/y/",
+]
+
+
+def ref_match(target: str, pattern: str) -> bool:
+    """Independent formulation: REP glob → anchored Python regex."""
+    anchored = pattern.endswith("$")
+    core = pattern[:-1] if anchored else pattern
+    rx = "^" + ".*".join(re.escape(p) for p in core.split("*")) + ("$" if anchored else "")
+    return re.search(rx, target, re.DOTALL) is not None
+
+
+def test_rep_match_vs_python_reference(spark):
+    rows = [(t, p) for t in TARGETS for p in PATTERNS]
+    df = spark.createDataFrame(rows, ["t", "p"])
+    got = df.select(
+        "t", "p", schedule.rep_match(F.col("t"), F.col("p")).alias("m")
+    ).collect()
+    bad = [
+        (r.t, r.p, r.m, ref_match(r.t, r.p))
+        for r in got
+        if r.m != ref_match(r.t, r.p)
+    ]
+    assert not bad, bad[:10]
+
+
+def test_rep_precedence(spark):
+    """Longest pattern wins; tie → Allow wins; no match → allowed."""
+    rules = [
+        (False, "/p"), (True, "/page"),       # longer Allow overrides
+        (False, "/dl$"),                       # anchored block
+        (True, "/tie"), (False, "/tie"),       # exact tie → Allow
+    ]
+    cases = [
+        ("/page/1", False), ("/p1", True), ("/q", False),
+        ("/dl", True), ("/dl2", False), ("/tie/x", False),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in cases], ["t"])
+    lit_rules = F.array(*[
+        F.struct(F.lit(a).alias("allow"), F.lit(p).alias("pattern"))
+        for a, p in rules
+    ])
+    got = {
+        r.t: r.b
+        for r in df.select(
+            "t", schedule.rep_blocked(F.col("t"), lit_rules).alias("b")
+        ).collect()
+    }
+    for t, expect_blocked in cases:
+        assert got[t] == expect_blocked, t
+
+
+def test_parse_robots_rep(spark):
+    body = (
+        "User-agent: googlebot\nDisallow: /private\n\n"
+        "User-agent: *\nAllow: /img/public*\nDisallow: /img/\n"
+        "Disallow:\nCrawl-delay: 2\n"
+    )
+    df = spark.createDataFrame(
+        [("a.test", body), ("b.test", "junk")], "domain string, robots_txt string"
+    )
+    got = {r["domain"]: r for r in schedule.parse_robots_rep(df).collect()}
+    assert [tuple(x) for x in got["a.test"]["rules"]] == [
+        (True, "/img/public*"), (False, "/img/"),
+    ]
+    assert got["a.test"]["crawl_delay"] == 2.0
+    assert got["b.test"]["rules"] == [] and got["b.test"]["crawl_delay"] is None
+
+
+def test_with_robots_rep_end_to_end(spark):
+    body = (
+        "User-agent: *\nAllow: /img/public*\nDisallow: /img/\n"
+        "Disallow: /*.pdf$\nCrawl-delay: 2\n"
+    )
+    robots = schedule.parse_robots_rep(
+        spark.createDataFrame([("a.test", body)], "domain string, robots_txt string")
+    )
+    pending = spark.createDataFrame(
+        [
+            ("http://a.test/img/x.jpg", "a.test"),
+            ("http://a.test/img/public/x.jpg", "a.test"),
+            ("http://a.test/doc.pdf", "a.test"),
+            ("http://a.test/doc.pdf?dl=1", "a.test"),  # query breaks the $ anchor
+            ("http://b.test/img/x.jpg", "b.test"),
+        ],
+        "url string, domain string",
+    )
+    out = schedule.with_robots_rep(pending, robots, CrawlConfig(wait_time=9.0))
+    rows = {r["url"]: r for r in out.collect()}
+    assert rows["http://a.test/img/x.jpg"]["robots_blocked"]
+    assert not rows["http://a.test/img/public/x.jpg"]["robots_blocked"]
+    assert rows["http://a.test/doc.pdf"]["robots_blocked"]
+    assert not rows["http://a.test/doc.pdf?dl=1"]["robots_blocked"]
+    assert not rows["http://b.test/img/x.jpg"]["robots_blocked"]
+    assert rows["http://a.test/img/x.jpg"]["crawl_delay"] == 2.0
+    assert rows["http://b.test/img/x.jpg"]["crawl_delay"] == 9.0
+    # the rules dim broadcasts; the pending side never shuffles
+    plan = plan_of(out)
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
