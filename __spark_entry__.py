@@ -1350,6 +1350,32 @@ rep_delays(domain, delay) AS (VALUES
 """
 
 
+def q_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain resolution (operators/redirects.py): bounded
+    pointer-chase over a (src,dst) edge table — single hops, 2-hop
+    chains, and a u↔v cycle that must surface as is_terminal=false
+    after the hop cap, never loop. The oracle walks the same edges
+    with a recursive CTE capped at the same 8 hops."""
+    from kryptone_spark.operators import redirects as R
+
+    orders = _load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    u = F.concat(F.lit("https://r.test/u-"), k.cast("string"))
+    v = F.concat(F.lit("https://r.test/v-"), k.cast("string"))
+    w = F.concat(F.lit("https://r.test/w-"), k.cast("string"))
+    urls = orders.select(k.alias("k"), u.alias("url"))
+    edges = (
+        orders.where(k % 5 == 1).select(u.alias("src_url"), v.alias("dst_url"))
+        .unionAll(orders.where(k % 25 == 6).select(v.alias("src_url"), w.alias("dst_url")))
+        .unionAll(orders.where(k % 50 == 11).select(v.alias("src_url"), u.alias("dst_url")))
+    )
+    out = R.resolve_redirects(urls, F.broadcast(edges))
+    return out.select(
+        "k", "url", "final_url", F.col("n_hops").cast("int").alias("n_hops"),
+        "is_terminal",
+    )
+
+
 def q_url_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3/J5 url_distribution (base.py:312,502): page → sorted out-link
     list + degree, over an edge table synthesized from lineitem."""
@@ -1521,6 +1547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spans_audit": q_spans_audit,
         "interleave_profile": q_interleave_profile,
         "robots_rep": q_robots_rep,
+        "redirect_resolve": q_redirect_resolve,
         "seo_audit": q_seo_audit,
         "docs_stemmed_topk": q_docs_stemmed_topk,
         "product_models": q_product_models,
@@ -2236,6 +2263,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT label, count(*) AS n,
                    round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS avg_norm
             FROM embeddings GROUP BY label
+        """,
+        "redirect_resolve": """
+            WITH RECURSIVE ru AS (
+              SELECT o_orderkey AS k,
+                     'https://r.test/u-' || o_orderkey AS url
+              FROM orders),
+            redges AS (
+              SELECT 'https://r.test/u-' || o_orderkey AS src,
+                     'https://r.test/v-' || o_orderkey AS dst
+              FROM orders WHERE o_orderkey % 5 = 1
+              UNION ALL
+              SELECT 'https://r.test/v-' || o_orderkey,
+                     'https://r.test/w-' || o_orderkey
+              FROM orders WHERE o_orderkey % 25 = 6
+              UNION ALL
+              SELECT 'https://r.test/v-' || o_orderkey,
+                     'https://r.test/u-' || o_orderkey
+              FROM orders WHERE o_orderkey % 50 = 11),
+            walk(k, url, cur, hops) AS (
+              SELECT k, url, url, 0 FROM ru
+              UNION ALL
+              SELECT w.k, w.url, e.dst, w.hops + 1
+              FROM walk w JOIN redges e ON w.cur = e.src
+              WHERE w.hops < 8),
+            f AS (
+              SELECT k, url, arg_max(cur, hops) AS final_url,
+                     max(hops) AS n_hops
+              FROM walk GROUP BY k, url)
+            SELECT k, url, final_url, n_hops::INTEGER AS n_hops,
+                   final_url NOT IN (SELECT src FROM redges) AS is_terminal
+            FROM f
         """,
         "robots_rep": f"""
             WITH {URLS_CTE.strip()},
