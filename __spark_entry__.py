@@ -1376,6 +1376,25 @@ def q_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive recrawl scheduling (Cho & Garcia-Molina revisit
+    policy): change-rate per URL from a fetch history synthesized from
+    events, geometric interval interpolation, next-fetch in exact
+    integer microseconds (unix_micros ↔ epoch_us — no float epoch
+    drift)."""
+    from kryptone_spark.operators import schedule
+
+    ev = _load(spark, sf_dir, "events")
+    hist = ev.select(
+        F.concat(
+            F.lit("https://h.test/p-"), (F.col("user_id") % 500).cast("string")
+        ).alias("url"),
+        F.col("ts").alias("fetch_ts"),
+        (F.col("event_id") % 3 == 0).alias("changed"),
+    )
+    return schedule.recrawl_schedule(hist)
+
+
 def q_url_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3/J5 url_distribution (base.py:312,502): page → sorted out-link
     list + degree, over an edge table synthesized from lineitem."""
@@ -1548,6 +1567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interleave_profile": q_interleave_profile,
         "robots_rep": q_robots_rep,
         "redirect_resolve": q_redirect_resolve,
+        "recrawl_schedule": q_recrawl_schedule,
         "seo_audit": q_seo_audit,
         "docs_stemmed_topk": q_docs_stemmed_topk,
         "product_models": q_product_models,
@@ -2263,6 +2283,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT label, count(*) AS n,
                    round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS avg_norm
             FROM embeddings GROUP BY label
+        """,
+        "recrawl_schedule": """
+            WITH h AS (
+              SELECT 'https://h.test/p-' || (user_id % 500) AS url,
+                     ts, (event_id % 3 = 0) AS changed
+              FROM events),
+            a AS (
+              SELECT url, count(*) AS n_obs,
+                     sum(CASE WHEN changed THEN 1 ELSE 0 END) AS n_changes,
+                     max(epoch_us(ts)) AS last_us
+              FROM h GROUP BY url)
+            SELECT url,
+                   n_obs::BIGINT AS n_obs,
+                   n_changes::BIGINT AS n_changes,
+                   round(n_changes::DOUBLE / n_obs, 6) AS change_rate,
+                   round(604800.0 * pow(3600.0 / 604800.0, n_changes::DOUBLE / n_obs), 6)
+                       AS interval_s,
+                   (last_us
+                    + floor(round(604800.0 * pow(3600.0 / 604800.0, n_changes::DOUBLE / n_obs), 6)
+                            * 1000000.0)::BIGINT)::BIGINT AS next_fetch_us
+            FROM a
         """,
         "redirect_resolve": """
             WITH RECURSIVE ru AS (

@@ -125,3 +125,33 @@ def test_with_robots_rep_end_to_end(spark):
     plan = plan_of(out)
     assert "BroadcastHashJoin" in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_recrawl_schedule_values(spark):
+    """Change-rate → geometric interval → exact-micros next fetch."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        ("A", t0, False), ("A", t0 + dt.timedelta(hours=1), True),
+        ("A", t0 + dt.timedelta(hours=2, microseconds=250), False),
+        ("B", t0, False), ("B", t0 + dt.timedelta(days=1), False),
+        ("C", t0 + dt.timedelta(minutes=5), True),
+    ]
+    df = spark.createDataFrame(rows, "url string, fetch_ts timestamp, changed boolean")
+    got = {r.url: r for r in schedule.recrawl_schedule(df).collect()}
+
+    def expect(rate):
+        return round(604800.0 * (3600.0 / 604800.0) ** rate, 6)
+
+    a = got["A"]
+    assert (a.n_obs, a.n_changes) == (3, 1)
+    assert a.change_rate == pytest.approx(round(1 / 3, 6))
+    assert a.interval_s == expect(1 / 3)
+    last_us_a = int((t0 + dt.timedelta(hours=2, microseconds=250)
+                     - dt.datetime(1970, 1, 1)).total_seconds() * 1e6)
+    import math
+
+    assert a.next_fetch_us == last_us_a + math.floor(expect(1 / 3) * 1e6)
+    assert got["B"].interval_s == 604800.0  # never changed → max interval
+    assert got["C"].interval_s == 3600.0    # changes every fetch → min
