@@ -155,3 +155,38 @@ def test_recrawl_schedule_values(spark):
     assert a.next_fetch_us == last_us_a + math.floor(expect(1 / 3) * 1e6)
     assert got["B"].interval_s == 604800.0  # never changed → max interval
     assert got["C"].interval_s == 3600.0    # changes every fetch → min
+
+
+def test_rep_match_seeded_fuzz(spark):
+    """500 seeded-random pattern×target pairs over a trap-prone
+    alphabet (repeated stars, '$' mid-pattern, regex metachars, empty
+    runs) vs the independent regex formulation — one DataFrame pass."""
+    import random
+
+    rng = random.Random(4309)
+    alphabet = "ab/.*?+()[x-"
+    def rand_s(maxlen, extra=""):
+        return "".join(
+            rng.choice(alphabet + extra) for _ in range(rng.randrange(maxlen))
+        )
+
+    cases = []
+    for _ in range(500):
+        pat = rand_s(8)
+        if rng.random() < 0.4:
+            pat += "$"
+        tgt = rand_s(12)
+        if rng.random() < 0.3 and pat:
+            # seed near-miss targets that share material with the pattern
+            tgt = pat.replace("*", rand_s(3)).replace("$", "") + rand_s(4)
+        cases.append((tgt, pat))
+    df = spark.createDataFrame(cases, ["t", "p"])
+    got = df.select(
+        "t", "p", schedule.rep_match(F.col("t"), F.col("p")).alias("m")
+    ).collect()
+    bad = [
+        (repr(r.t), repr(r.p), r.m, ref_match(r.t, r.p))
+        for r in got
+        if bool(r.m) != ref_match(r.t, r.p)
+    ]
+    assert not bad, bad[:10]
