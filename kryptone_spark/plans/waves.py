@@ -89,6 +89,7 @@ class WaveRunner:
         global_rank: bool = True,
         priority: str = "fifo",
         rank_every: int = 1,
+        compact_every: int = 0,
     ):
         self.spark = spark
         self.config = config
@@ -124,6 +125,7 @@ class WaveRunner:
             raise ValueError(f"priority must be fifo|pagerank, got {priority!r}")
         self.priority = priority
         self.rank_every = max(1, rank_every)
+        self.compact_every = max(0, compact_every)
         self._edges_acc: DataFrame | None = None
         self._ranks: DataFrame | None = None
         self._offset = 0.0
@@ -570,6 +572,17 @@ class WaveRunner:
                 break
             result.waves.append(summary)
             wave += 1
+            # opt-in small-files maintenance (compact_every > 0): fold
+            # committed wave dirs into each table's snapshot. flush()
+            # first — compaction folds only _SUCCESS-committed dirs, so
+            # in-flight writes must land; the drain briefly stalls the
+            # write pipeline, which is why this is periodic, not
+            # per-wave (Iceberg runs rewrite_data_files on the same
+            # cadence reasoning).
+            if self.compact_every and wave % self.compact_every == 0:
+                self.flush()
+                for t in _DELTA_TABLES:
+                    self.io.compact(t)
         self.flush()
         return result
 
