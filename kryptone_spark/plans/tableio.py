@@ -65,40 +65,78 @@ class TableIO:
     # n_domain_buckets part files each — the classic data-lake
     # small-files failure: at 10^4 waves the state tables are millions
     # of kilobyte files and every read pays a listing + open per file.
-    # ``compact`` folds the contiguous committed prefix of wave dirs
-    # into ONE consolidated snapshot (``<name>/compacted/``, wave kept
-    # as a DATA column, rows sorted by wave inside each file so wave
-    # predicates prune row groups) and then removes the folded dirs.
-    # Readers union snapshot + not-yet-folded wave dirs; commit
-    # discovery unions the snapshot's _WAVES.json manifest with the
+    #
+    # Compaction is GENERATIONAL (tiered), like Iceberg's incremental
+    # binpack: each ``compact`` cycle folds only the not-yet-folded
+    # committed wave dirs into a NEW snapshot generation
+    # (``<name>/compacted/gen=K``, wave kept as a DATA column sorted
+    # inside files so wave predicates prune row groups) — each wave's
+    # rows are rewritten exactly ONCE, so in-loop compaction costs
+    # O(total data), not O(waves × table size) as a monolithic
+    # re-snapshot would. ``compact(full=True)`` merges all generations
+    # into one (the rare tiering step). Readers union the generations
+    # with the not-yet-folded wave dirs; commit discovery unions the
+    # per-generation ``_WAVES.json`` manifests with the
     # _SUCCESS-marked dirs — the resume contract is unchanged.
     #
-    # Crash ordering: the new snapshot is fully written (manifest
-    # inside) under compacted.tmp, the old snapshot moves to
-    # compacted.bak, tmp renames in, bak and folded dirs are removed
-    # last. ``_recover`` heals the one window where compacted/ is
-    # missing but .bak exists. (Real Iceberg gets this from atomic
-    # snapshot pointer swaps; this is the same protocol hand-rolled on
-    # a filesystem.)
+    # Crash ordering: a generation is fully written (manifest inside)
+    # under ``<name>/gen.tmp`` and renamed into place BEFORE the folded
+    # wave dirs are removed — in every window a wave's rows are
+    # readable exactly once: if two generations ever claim the same
+    # wave (full-merge crash), the HIGHEST generation owns it and
+    # readers filter the lower one; if a folded wave dir still exists,
+    # the manifest excludes it from the live set. ``_recover`` heals
+    # interrupted per-generation swaps (``*.bak``); stale tmp/orphan
+    # dirs are garbage-collected on the next compact. (Real Iceberg
+    # gets this from atomic snapshot-pointer swaps; this is the same
+    # protocol hand-rolled on a filesystem.)
 
     def _compacted_dir(self, name: str) -> pathlib.Path:
         return self._dir(name) / "compacted"
 
     def _recover(self, name: str) -> None:
-        comp, bak = self._compacted_dir(name), self._dir(name) / "compacted.bak"
-        if bak.exists():
-            if comp.exists():
+        comp = self._compacted_dir(name)
+        if not comp.exists():
+            return
+        for bak in comp.glob("*.bak"):
+            target = bak.with_name(bak.name[: -len(".bak")])
+            if target.exists():
                 shutil.rmtree(bak)  # swap completed; stale backup
             else:
-                bak.rename(comp)  # crashed between the two renames
+                bak.rename(target)  # crashed mid-swap
+
+    def _gens(self, name: str) -> list[tuple[int, pathlib.Path, list[int]]]:
+        """(gen, path, manifest waves) ascending; manifest-less dirs
+        (crash before the in-dir manifest write — impossible with the
+        current ordering, but cheap to tolerate) are ignored."""
+        self._recover(name)
+        comp = self._compacted_dir(name)
+        out = []
+        for p in sorted(comp.glob("gen=*"), key=lambda p: int(p.name.split("=")[1])):
+            m = p / "_WAVES.json"
+            if m.exists():
+                out.append((int(p.name.split("=")[1]), p, sorted(json.loads(m.read_text()))))
+        return out
+
+    def _ownership(self, name: str) -> list[tuple[pathlib.Path, list[int], bool]]:
+        """(gen path, waves this gen OWNS, needs_filter). The highest
+        generation claiming a wave owns it — lower claims only exist in
+        a full-merge crash window and must be filtered out on read."""
+        gens = self._gens(name)
+        claimed: set[int] = set()
+        owned_desc = []
+        for g, p, waves in reversed(gens):
+            own = [w for w in waves if w not in claimed]
+            claimed |= set(waves)
+            owned_desc.append((p, own, len(own) != len(waves)))
+        return list(reversed(owned_desc))
 
     def folded_waves(self, name: str) -> list[int]:
         """Waves whose rows live in the compacted snapshot."""
-        self._recover(name)
-        m = self._compacted_dir(name) / "_WAVES.json"
-        if not m.exists():
-            return []
-        return sorted(json.loads(m.read_text()))
+        waves: set[int] = set()
+        for _, _, w in self._gens(name):
+            waves |= set(w)
+        return sorted(waves)
 
     def _wave_dirs(self, name: str) -> list[pathlib.Path]:
         folded = set(self.folded_waves(name))
@@ -108,15 +146,26 @@ class TableIO:
             if int(p.name.split("=")[1]) not in folded
         ]
 
+    def _read_gen(self, path: pathlib.Path, schema=None) -> DataFrame | None:
+        if next(path.rglob("*.parquet"), None) is None:
+            return None
+        r = self.spark.read.option("basePath", str(path))
+        if schema is not None:
+            r = r.schema(schema)
+        return r.parquet(str(path))
+
     def read(self, name: str, schema=None) -> DataFrame | None:
         base = self._dir(name)
         parts: list[DataFrame] = []
-        comp = self._compacted_dir(name)
-        if self.folded_waves(name) and next(comp.rglob("*.parquet"), None) is not None:
-            r = self.spark.read.option("basePath", str(comp))
-            if schema is not None:
-                r = r.schema(schema)
-            parts.append(r.parquet(str(comp)))
+        for p, own, needs_filter in self._ownership(name):
+            if not own:
+                continue
+            df = self._read_gen(p, schema)
+            if df is None:
+                continue
+            if needs_filter:
+                df = df.where(F.col("wave").isin(own))
+            parts.append(df)
         # an all-empty wave dir (e.g. no robots-blocked rows yet) has a
         # _SUCCESS marker but no part files — nothing to read from it
         live = [
@@ -131,18 +180,16 @@ class TableIO:
             parts.append(r.parquet(*[str(p) for p in live]))
         if not parts:
             return None
-        if len(parts) == 1:
-            return parts[0]
-        return parts[0].unionByName(parts[1].select(parts[0].columns))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p.select(out.columns))
+        return out
 
     def read_wave(self, name: str, wave: int) -> DataFrame | None:
-        if wave in self.folded_waves(name):
-            comp = self._compacted_dir(name)
-            return (
-                self.spark.read.option("basePath", str(comp))
-                .parquet(str(comp))
-                .where(F.col("wave") == wave)
-            )
+        for p, own, _ in reversed(self._ownership(name)):
+            if wave in own:
+                df = self._read_gen(p)
+                return df.where(F.col("wave") == wave) if df is not None else None
         path = self._dir(name) / f"wave={wave}"
         if not path.exists():
             return None
@@ -154,8 +201,8 @@ class TableIO:
         """A wave counts as committed only when its write actually
         finished: the _SUCCESS marker (written by Spark's output
         committer at job commit) must exist — a crash mid-write leaves
-        only _temporary content — or when it has been folded into the
-        compacted snapshot (only committed waves are ever folded)."""
+        only _temporary content — or when it has been folded into a
+        compacted generation (only committed waves are ever folded)."""
         live = {
             int(p.name.split("=")[1])
             for p in self._dir(name).glob("wave=*")
@@ -163,69 +210,100 @@ class TableIO:
         }
         return sorted(live | set(self.folded_waves(name)))
 
-    def compact(self, name: str) -> int:
-        """Fold every committed wave dir (plus any prior snapshot) into
-        a fresh consolidated snapshot. Returns the number of wave dirs
-        folded (0 = nothing to do)."""
-        self._recover(name)
-        live = [
-            p for p in self._wave_dirs(name) if (p / "_SUCCESS").exists()
-        ]
-        if not live:
+    def compact(self, name: str, full: bool = False) -> int:
+        """Fold the not-yet-folded committed wave dirs into a new
+        snapshot generation (incremental — each wave's rows are
+        rewritten once, ever). ``full=True`` also merges the existing
+        generations into the new one (the rare tiering step). Returns
+        the number of wave dirs folded."""
+        base = self._dir(name)
+        tmp = base / "gen.tmp"
+        if tmp.exists():
+            shutil.rmtree(tmp)  # stale from a crashed cycle
+        folded = set(self.folded_waves(name))
+        # gc: folded dirs whose removal crashed, and gens that own nothing
+        for p in base.glob("wave=*"):
+            if int(p.name.split("=")[1]) in folded:
+                shutil.rmtree(p)
+        for p, own, _ in self._ownership(name):
+            if not own:
+                shutil.rmtree(p)
+
+        live = [p for p in self._wave_dirs(name) if (p / "_SUCCESS").exists()]
+        if not live and not (full and len(self._gens(name)) > 1):
             return 0
-        df = self.read(name)
-        if df is None:
-            return 0
-        folded = sorted(
-            set(self.folded_waves(name))
-            | {int(p.name.split("=")[1]) for p in live}
-        )
-        self._write_snapshot(name, df, folded)
+        live_waves = [int(p.name.split("=")[1]) for p in live]
+
+        parts: list[DataFrame] = []
+        merged_gens: list[pathlib.Path] = []
+        waves_out = set(live_waves)
+        if full:
+            for p, own, needs_filter in self._ownership(name):
+                df = self._read_gen(p)
+                if df is not None:
+                    parts.append(df.where(F.col("wave").isin(own)) if needs_filter else df)
+                merged_gens.append(p)
+                waves_out |= set(own)
+        readable = [p for p in live if next(p.rglob("*.parquet"), None) is not None]
+        if readable:
+            parts.append(
+                self.spark.read.option("basePath", str(base)).parquet(
+                    *[str(p) for p in readable]
+                )
+            )
+        next_gen = (self._gens(name)[-1][0] + 1) if self._gens(name) else 0
+        if parts:
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p.select(df.columns))
+            writer = (
+                df.withColumn("wave", F.col("wave").cast("int"))
+                .sortWithinPartitions("wave")
+                .write.mode("overwrite")
+            )
+            if "domain_bucket" in df.columns:
+                writer = writer.partitionBy("domain_bucket")
+            writer.parquet(str(tmp))
+        else:
+            tmp.mkdir(parents=True)
+        (tmp / "_WAVES.json").write_text(json.dumps(sorted(waves_out)))
+        self._compacted_dir(name).mkdir(parents=True, exist_ok=True)
+        tmp.rename(self._compacted_dir(name) / f"gen={next_gen}")
+        for p in merged_gens:
+            shutil.rmtree(p)
         for p in live:
             shutil.rmtree(p)
         return len(live)
 
-    def _write_snapshot(self, name: str, df: DataFrame, folded: list[int]) -> None:
-        comp = self._compacted_dir(name)
-        tmp = self._dir(name) / "compacted.tmp"
-        bak = self._dir(name) / "compacted.bak"
-        if tmp.exists():
-            shutil.rmtree(tmp)
-        writer = (
-            df.withColumn("wave", F.col("wave").cast("int"))
-            .sortWithinPartitions("wave")
-            .write.mode("overwrite")
-        )
-        if "domain_bucket" in df.columns:
-            writer = writer.partitionBy("domain_bucket")
-        writer.parquet(str(tmp))
-        (tmp / "_WAVES.json").write_text(json.dumps(folded))
-        if comp.exists():
-            comp.rename(bak)
-        tmp.rename(comp)
-        if bak.exists():
-            shutil.rmtree(bak)
-
     def drop_waves_after(self, name: str, wave: int) -> None:
-        """Roll back a partially-committed resume point. If the cut
-        reaches into the compacted snapshot, the snapshot is rewritten
-        filtered to the surviving waves (rare: compaction folds only
-        committed waves, and rollback targets the uncommitted tail)."""
+        """Roll back a partially-committed resume point. Generations
+        reaching past the cut are dropped or rewritten filtered (rare:
+        compaction folds only committed waves, and rollback targets the
+        uncommitted tail)."""
         for p in self._dir(name).glob("wave=*"):
             if int(p.name.split("=")[1]) > wave:
                 shutil.rmtree(p)
-        folded = self.folded_waves(name)
-        if folded and folded[-1] > wave:
-            keep = [w for w in folded if w <= wave]
-            comp = self._compacted_dir(name)
+        for g, p, waves in self._gens(name):
+            keep = [w for w in waves if w <= wave]
+            if len(keep) == len(waves):
+                continue
             if not keep:
-                shutil.rmtree(comp)
-                return
-            df = (
-                self.spark.read.option("basePath", str(comp))
-                .parquet(str(comp))
-                .where(F.col("wave") <= wave)
-            )
-            # materialize before the swap clobbers the source files
-            df = df.localCheckpoint(eager=True)
-            self._write_snapshot(name, df, keep)
+                shutil.rmtree(p)
+                continue
+            tmp = self._dir(name) / "gen.tmp"
+            if tmp.exists():
+                shutil.rmtree(tmp)
+            df = self._read_gen(p)
+            if df is None:
+                (p / "_WAVES.json").write_text(json.dumps(keep))
+                continue
+            df = df.where(F.col("wave") <= wave).localCheckpoint(eager=True)
+            writer = df.write.mode("overwrite")
+            if "domain_bucket" in df.columns:
+                writer = writer.partitionBy("domain_bucket")
+            writer.parquet(str(tmp))
+            (tmp / "_WAVES.json").write_text(json.dumps(keep))
+            bak = p.with_name(p.name + ".bak")
+            p.rename(bak)
+            tmp.rename(p)
+            shutil.rmtree(bak)

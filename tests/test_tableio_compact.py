@@ -60,7 +60,7 @@ def test_compact_then_new_waves_union(spark, tmp_path):
     assert _rows(io.read_wave("seen", 3)) == _rows(
         io.read("seen").where(F.col("wave") == 3)
     )
-    # second compact folds the prior snapshot plus the new wave
+    # second compact is incremental: only the new wave folds (gen=1)
     assert io.compact("seen") == 1
     assert len(_rows(io.read("seen"))) == 35
 
@@ -93,13 +93,35 @@ def test_rewriting_folded_wave_is_refused(spark, tmp_path):
         io.write_wave("seen", df, 1)
 
 
-def test_crash_recovery_restores_backup(spark, tmp_path):
+def test_crash_windows(spark, tmp_path):
+    import shutil
+
     io = _mk(spark, tmp_path, waves=3)
     io.compact("seen")
     before = _rows(io.read("seen"))
-    # simulate a crash between "old snapshot → .bak" and "tmp → snapshot"
-    (tmp_path / "seen" / "compacted").rename(tmp_path / "seen" / "compacted.bak")
-    assert _rows(io.read("seen")) == before  # _recover heals on read
+
+    # window 1: generation renamed in, folded wave dirs NOT yet deleted
+    # → the manifest excludes them from the live set, no duplicates;
+    # the next compact garbage-collects them
+    src = tmp_path / "seen" / "compacted" / "gen=0"
+    stale = tmp_path / "seen" / "wave=1"
+    shutil.copytree(
+        tmp_path / "seen" / "compacted", tmp_path / "seen" / "bak_copy"
+    )
+    stale.mkdir()
+    (stale / "_SUCCESS").write_text("")
+    assert _rows(io.read("seen")) == before
+    io.compact("seen")  # gc pass
+    assert not stale.exists()
+
+    # window 2: crashed mid-swap of a generation rewrite (gen=0.bak
+    # present, gen=0 missing) → _recover heals on next read
+    shutil.rmtree(src)
+    (tmp_path / "seen" / "bak_copy" / "gen=0").rename(
+        tmp_path / "seen" / "compacted" / "gen=0.bak"
+    )
+    shutil.rmtree(tmp_path / "seen" / "bak_copy")
+    assert _rows(io.read("seen")) == before
     assert io.folded_waves("seen") == [0, 1, 2]
 
 
@@ -149,3 +171,24 @@ def test_wave_loop_compact_every(spark, tmp_path):
     n_plain = len(list((tmp_path / "plain").rglob("*.parquet")))
     n_cmp = len(list((tmp_path / "cmp").rglob("*.parquet")))
     assert n_cmp < n_plain
+
+
+def test_full_merge_tiers_generations(spark, tmp_path):
+    io = _mk(spark, tmp_path, waves=2)
+    io.compact("seen")                      # gen=0 (waves 0,1)
+    df = spark.range(50, 55).select(
+        F.concat(F.lit("u"), F.col("id")).alias("url"),
+        (F.col("id") % 3).cast("int").alias("domain_bucket"),
+    )
+    io.write_wave("seen", df, 2)
+    io.compact("seen")                      # gen=1 (wave 2)
+    assert len(list((tmp_path / "seen" / "compacted").glob("gen=*"))) == 2
+    before = _rows(io.read("seen"))
+    io.compact("seen", full=True)           # single merged generation
+    gens = list((tmp_path / "seen" / "compacted").glob("gen=*"))
+    assert len(gens) == 1
+    assert _rows(io.read("seen")) == before
+    assert io.folded_waves("seen") == [0, 1, 2]
+    assert _rows(io.read_wave("seen", 1)) == _rows(
+        io.read("seen").where(F.col("wave") == 1)
+    )
