@@ -1376,6 +1376,36 @@ def q_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_frontier_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 + the Heritrix-style global queue budget: the REAL
+    politeness_schedule with max_pages_per_domain=10 against a
+    fetched-counts dim (region-derived: site{r}.test has already
+    fetched 3r pages) — site4 (12 ≥ cap) retires entirely, the others
+    take min(wave budget 8, remaining quota 10-3r)."""
+    from kryptone_spark.config import CrawlConfig
+    from kryptone_spark.functions import urls as U
+    from kryptone_spark.operators import schedule
+
+    urls = _urls_from_orders(_load(spark, sf_dir, "orders"))
+    host = U.host(F.col("url"))
+    kept = urls.where(
+        ~U.has_fragment(F.col("url"))
+        & ~U.is_image(F.col("url"), (".jpg",))
+        & (host != "offsite.example")
+    ).select("url", host.alias("domain"), F.lit(0.0).alias("priority"))
+    counts = _load(spark, sf_dir, "region").select(
+        F.concat(F.lit("site"), F.col("r_regionkey").cast("string"), F.lit(".test")).alias("domain"),
+        (F.col("r_regionkey") * 3).cast("long").alias("n_fetched"),
+    )
+    config = CrawlConfig(
+        wait_time=25.0, max_per_domain_per_wave=8, max_pages_per_domain=10
+    )
+    batch, _ = schedule.politeness_schedule(
+        kept, config, wave=0, fetched_counts=counts, global_rank=False
+    )
+    return batch.select("url", "domain", F.col("rank_in_domain").cast("int"))
+
+
 def q_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adaptive recrawl scheduling (Cho & Garcia-Molina revisit
     policy): change-rate per URL from a fetch history synthesized from
@@ -1568,6 +1598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_rep": q_robots_rep,
         "redirect_resolve": q_redirect_resolve,
         "recrawl_schedule": q_recrawl_schedule,
+        "frontier_quota": q_frontier_quota,
         "seo_audit": q_seo_audit,
         "docs_stemmed_topk": q_docs_stemmed_topk,
         "product_models": q_product_models,
@@ -2283,6 +2314,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT label, count(*) AS n,
                    round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS avg_norm
             FROM embeddings GROUP BY label
+        """,
+        "frontier_quota": f"""
+            WITH {URLS_CTE.strip()},
+            kept AS (
+              SELECT url, 'site' || dn || '.test' AS domain
+              FROM urls
+              WHERE k % 10 NOT IN (0, 1, 3)),
+            counts AS (
+              SELECT 'site' || r_regionkey || '.test' AS domain,
+                     r_regionkey * 3 AS nf
+              FROM region),
+            ranked AS (
+              SELECT kept.url, kept.domain,
+                     coalesce(counts.nf, 0) AS nf,
+                     row_number() OVER (PARTITION BY kept.domain ORDER BY kept.url)::INTEGER
+                         AS rank_in_domain
+              FROM kept LEFT JOIN counts ON kept.domain = counts.domain
+              WHERE coalesce(counts.nf, 0) < 10)
+            SELECT url, domain, rank_in_domain
+            FROM ranked
+            WHERE rank_in_domain <= 8 AND rank_in_domain <= 10 - nf
         """,
         "recrawl_schedule": """
             WITH h AS (

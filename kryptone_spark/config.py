@@ -91,6 +91,11 @@ class CrawlConfig:
     wait_time: float = 25.0
     max_per_domain_per_wave: int = 1_000_000_000
     max_waves: int = 64
+    # Heritrix-style global queue budget (engine-only; reference has
+    # none): cap a domain's TOTAL fetched pages across all waves.
+    # None = unbounded (reference parity). Exhausted domains retire
+    # through the blocked channel so the frontier drains.
+    max_pages_per_domain: int | None = None
 
     # partitioning (engine-only; W4 salted domain buckets)
     n_domain_buckets: int = 64

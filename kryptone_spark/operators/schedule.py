@@ -63,6 +63,7 @@ def politeness_schedule(
     wave_start_offset: float = 0.0,
     global_rank: bool = True,
     salt_buckets: int = 0,
+    fetched_counts: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Rank pending URLs per domain and take each domain's budget.
 
@@ -70,8 +71,17 @@ def politeness_schedule(
     - batch: (url, domain, domain_bucket, depth, rank_in_domain,
       rank_in_wave, fetch_at, wave) — ≤ max_per_domain_per_wave rows per
       domain, ordered by (priority, url) — the lexicographic contract.
-    - blocked: robots-disallowed rows (removed from the crawl, recorded
-      so the frontier anti-join retires them).
+    - blocked: robots-disallowed rows, plus quota-exhausted rows when
+      ``config.max_pages_per_domain`` is set (removed from the crawl,
+      recorded so the frontier anti-join retires them).
+
+    ``max_pages_per_domain`` is the Heritrix-style GLOBAL queue budget:
+    ``fetched_counts`` (domain, n_fetched) — an O(#domains) dim the
+    caller accumulates, broadcast here — caps a domain's total fetched
+    pages across all waves. Rows of a domain already at quota retire
+    through the blocked channel; rows that merely overflow THIS wave's
+    remainder stay pending and retire next wave once the count catches
+    up.
 
     The window partitions by *true* domain. At scale the frontier is
     stored bucketed by ``domain_bucket`` (W4 salting), so this shuffle
@@ -83,6 +93,23 @@ def politeness_schedule(
         "robots_blocked", "crawl_delay"
     )
     ok = pending.where(~F.col("robots_blocked"))
+
+    cap = config.max_pages_per_domain
+    if cap is not None:
+        if fetched_counts is not None:
+            fc = fetched_counts.select(
+                "domain", F.col("n_fetched").alias("__nf")
+            )
+            ok = ok.join(F.broadcast(fc), "domain", "left").withColumn(
+                "__nf", F.coalesce(F.col("__nf"), F.lit(0))
+            )
+        else:
+            ok = ok.withColumn("__nf", F.lit(0))
+        exhausted = ok.where(F.col("__nf") >= cap).drop(
+            "__nf", "robots_blocked", "crawl_delay"
+        )
+        blocked = blocked.unionByName(exhausted.select(blocked.columns))
+        ok = ok.where(F.col("__nf") < cap)
 
     # Two-phase top-k for hot-domain skew (salt_buckets > 0): AQE's
     # skew handling splits joins, not windows, so a domain holding most
@@ -109,6 +136,11 @@ def politeness_schedule(
     w_dom = Window.partitionBy("domain").orderBy("priority", "url")
     ranked = ok.withColumn("rank_in_domain", F.row_number().over(w_dom))
     batch = ranked.where(F.col("rank_in_domain") <= config.max_per_domain_per_wave)
+    if cap is not None:
+        # this wave takes only the domain's remaining quota
+        batch = batch.where(
+            F.col("rank_in_domain") <= F.lit(cap) - F.col("__nf")
+        ).drop("__nf")
 
     # deterministic virtual schedule: wave_start + (rank-1) * delay
     batch = batch.withColumn(

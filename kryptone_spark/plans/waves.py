@@ -126,6 +126,9 @@ class WaveRunner:
         self.priority = priority
         self.rank_every = max(1, rank_every)
         self.compact_every = max(0, compact_every)
+        # per-domain fetched totals (O(#domains), broadcast into the
+        # scheduler when max_pages_per_domain is set)
+        self._fetched_counts: DataFrame | None = None
         self._edges_acc: DataFrame | None = None
         self._ranks: DataFrame | None = None
         self._offset = 0.0
@@ -291,6 +294,7 @@ class WaveRunner:
             pending, self.config, wave, robots=self.robots,
             wave_start_offset=self._offset, global_rank=self.global_rank,
             salt_buckets=self.config.effective_salt_buckets,
+            fetched_counts=self._fetched_counts,
         )
         batch = batch.localCheckpoint(eager=False)
         # one job: materializes the lazy checkpoint AND collects the
@@ -305,7 +309,7 @@ class WaveRunner:
         fetched = stats["n"]
         t1 = time.perf_counter()
         self.phase_seconds["schedule"] += t1 - t0
-        if self.robots is not None:
+        if self.robots is not None or self.config.max_pages_per_domain is not None:
             self._append_state("robots_blocked", new_blocked)
             self._queue_flush("robots_blocked", wave, new_blocked, group=wave)
         if fetched == 0:
@@ -326,6 +330,19 @@ class WaveRunner:
         # coalesce never raises the partition count, so no width probe
         # is needed: when the batch is already narrower this is a no-op
         batch = batch.coalesce(nparts)
+
+        if self.config.max_pages_per_domain is not None:
+            wave_counts = batch.groupBy("domain").agg(
+                F.count("*").alias("n_fetched")
+            )
+            acc = self._fetched_counts
+            self._fetched_counts = (
+                wave_counts
+                if acc is None
+                else acc.unionByName(wave_counts)
+                .groupBy("domain")
+                .agg(F.sum("n_fetched").alias("n_fetched"))
+            ).localCheckpoint(eager=False)
 
         self._queue_flush(
             "fetch_batches",
@@ -614,6 +631,15 @@ class WaveRunner:
             df = self.io.read(t)
             if df is not None:
                 self._state[t] = df.drop("wave").localCheckpoint(eager=False)
+        # rebuild the per-domain quota counters from committed batches
+        if self.config.max_pages_per_domain is not None:
+            fbq = self.io.read("fetch_batches")
+            if fbq is not None:
+                self._fetched_counts = (
+                    fbq.groupBy("domain")
+                    .agg(F.count("*").alias("n_fetched"))
+                    .localCheckpoint(eager=False)
+                )
         # rebuild the virtual clock offset from committed batches
         fb = self.io.read("fetch_batches")
         if fb is not None:

@@ -325,3 +325,44 @@ def test_pagerank_priority_fetches_hub_earlier(spark, tmp_path):
     # evidence (a and b both point at hub) the priority queue pulls hub
     # forward past at least one of them
     assert pr_order.index(hub) < fifo_order.index(hub)
+
+
+def test_max_pages_per_domain_quota(spark, tmp_path):
+    """Global queue budget: a domain stops fetching at the cap, the
+    crawl still drains, other domains are unaffected, and a resumed
+    run honours the already-spent quota."""
+    from kryptone_spark.config import CrawlConfig
+    from kryptone_spark.plans.tableio import TableIO
+    from kryptone_spark.plans.waves import WaveRunner
+    from kryptone_spark.synth import site_df, synth_site
+
+    site = synth_site(n_domains=2, n_products=12, page_size=4, seed=11)
+    docs = site_df(spark, site)
+    config = CrawlConfig(start_urls=["http://sitea.test/"], max_pages_per_domain=5)
+
+    io = TableIO(spark, str(tmp_path / "quota"))
+    WaveRunner(spark, config, docs, io).run()
+    fb = io.read("fetch_batches")
+    per_dom = {r["domain"]: r["n"] for r in
+               fb.groupBy("domain").agg(F.count("*").alias("n")).collect()}
+    assert all(n <= 5 for n in per_dom.values()), per_dom
+    assert per_dom.get("sitea.test") == 5  # the cap bit (site has >5 pages)
+
+    # unbounded control: strictly more pages fetched
+    io_free = TableIO(spark, str(tmp_path / "free"))
+    WaveRunner(
+        spark,
+        CrawlConfig(start_urls=["http://sitea.test/"]),
+        docs, io_free,
+    ).run()
+    assert io_free.read("fetch_batches").count() > fb.count()
+
+    # resume honours spent quota: interrupt after 1 wave, resume, and
+    # the final per-domain totals match the uninterrupted quota run
+    io_r = TableIO(spark, str(tmp_path / "resume"))
+    WaveRunner(spark, config, docs, io_r).run(max_waves=1)
+    WaveRunner(spark, config, docs, io_r).resume()
+    got = {r["domain"]: r["n"] for r in
+           io_r.read("fetch_batches").groupBy("domain")
+           .agg(F.count("*").alias("n")).collect()}
+    assert got == per_dom
