@@ -1406,6 +1406,40 @@ def q_frontier_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     return batch.select("url", "domain", F.col("rank_in_domain").cast("int"))
 
 
+def q_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (operators/diffs.py): old = docs minus the
+    doc_id%17==3 slice (those show as 'added'), new = docs minus the
+    doc_id%13==5 slice ('removed') with the doc_id%7==2 slice's text
+    rewritten ('changed'); everything else 'unchanged'. Fingerprint =
+    md5(text) — portable to DuckDB verbatim. Returns the per-status
+    rollup plus a value probe (min url per status) so the hash pins
+    both the join and the classification."""
+    from kryptone_spark.operators import diffs
+
+    docs = _load(spark, sf_dir, "documents").select(
+        F.concat(F.lit("https://d.test/"), F.col("doc_id").cast("string")).alias(
+            "url"
+        ),
+        "doc_id",
+        "text",
+    )
+    old = docs.where(F.col("doc_id") % 17 != 3).select(
+        "url", F.md5(F.col("text")).alias("fingerprint")
+    )
+    new = docs.where(F.col("doc_id") % 13 != 5).select(
+        "url",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 7 == 2, F.concat(F.col("text"), F.lit(" v2"))
+            ).otherwise(F.col("text"))
+        ).alias("fingerprint"),
+    )
+    d = diffs.crawl_diff(old, new)
+    return d.groupBy("status").agg(
+        F.count("*").alias("n"), F.min("url").alias("first_url")
+    )
+
+
 def q_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adaptive recrawl scheduling (Cho & Garcia-Molina revisit
     policy): change-rate per URL from a fetch history synthesized from
@@ -1598,6 +1632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_rep": q_robots_rep,
         "redirect_resolve": q_redirect_resolve,
         "recrawl_schedule": q_recrawl_schedule,
+        "crawl_diff": q_crawl_diff,
         "frontier_quota": q_frontier_quota,
         "seo_audit": q_seo_audit,
         "docs_stemmed_topk": q_docs_stemmed_topk,
@@ -2335,6 +2370,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, domain, rank_in_domain
             FROM ranked
             WHERE rank_in_domain <= 8 AND rank_in_domain <= 10 - nf
+        """,
+        "crawl_diff": """
+            WITH docs AS (
+              SELECT 'https://d.test/' || doc_id AS url, doc_id, text
+              FROM documents),
+            old AS (
+              SELECT url, md5(text) AS old_fp
+              FROM docs WHERE doc_id % 17 <> 3),
+            new AS (
+              SELECT url,
+                     md5(CASE WHEN doc_id % 7 = 2 THEN text || ' v2'
+                              ELSE text END) AS new_fp
+              FROM docs WHERE doc_id % 13 <> 5),
+            d AS (
+              SELECT coalesce(old.url, new.url) AS url,
+                     CASE WHEN old_fp IS NULL THEN 'added'
+                          WHEN new_fp IS NULL THEN 'removed'
+                          WHEN old_fp = new_fp THEN 'unchanged'
+                          ELSE 'changed' END AS status
+              FROM old FULL OUTER JOIN new ON old.url = new.url)
+            SELECT status, count(*)::BIGINT AS n, min(url) AS first_url
+            FROM d GROUP BY status
         """,
         "recrawl_schedule": """
             WITH h AS (
