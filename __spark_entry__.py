@@ -404,6 +404,24 @@ def q_docs_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup through the INGEST-TIME MinHash index
+    (operators/dedup.py:materialize_minhash_index): the corpus slice
+    (doc_id%5!=0) is banded once into a persisted index; the new batch
+    (doc_id%5==0) is minhashed alone and probed against it — emitting
+    exactly the minhash_lsh_pairs(corpus ∪ batch) pairs that touch ≥1
+    batch doc. The oracle restates the full-union pairs and filters to
+    the same incremental set."""
+    from kryptone_spark.operators import dedup
+
+    docs = _load(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    batch = docs.where(F.col("doc_id") % 5 == 0)
+    path = _index_dir(sf_dir, "mhidx")
+    dedup.materialize_minhash_index(corpus, path)
+    return dedup.lsh_pairs_vs_index(spark, path, batch, max_bucket_size=50)
+
+
 def q_docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full dedup pipeline: minhash → banded LSH pairs → connected
     components (alternating star contraction) → per-doc cluster label +
@@ -1609,6 +1627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_line_dedup": q_docs_line_dedup,
         "docs_minhash": q_docs_minhash,
         "docs_lsh_pairs": q_docs_lsh_pairs,
+        "docs_lsh_incremental": q_docs_lsh_incremental,
         "docs_dup_clusters": q_docs_dup_clusters,
         "docs_sample_mix": q_docs_sample_mix,
         "docs_shard_pack": q_docs_shard_pack,
@@ -1981,6 +2000,17 @@ def oracle_sql() -> dict[str, str]:
             bands AS (SELECT bands0.* FROM bands0 JOIN ok USING (band, bucket))
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
             FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+            GROUP BY doc_a, doc_b
+        """,
+        "docs_lsh_incremental": f"""
+            WITH {TOKS_CTE.strip()},
+            sigs AS (SELECT doc_id, {_SIG_COLS} FROM toks GROUP BY doc_id),
+            bands0 AS ({_BANDS_SQL}),
+            ok AS (SELECT band, bucket FROM bands0 GROUP BY band, bucket HAVING count(*) <= 50),
+            bands AS (SELECT bands0.* FROM bands0 JOIN ok USING (band, bucket))
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
+            FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+            WHERE a.doc_id % 5 = 0 OR b.doc_id % 5 = 0
             GROUP BY doc_a, doc_b
         """,
         "docs_dup_clusters": f"""

@@ -192,6 +192,100 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", k: int = MINHASH_K
     return t.groupBy("doc_id").agg(*aggs)
 
 
+def banded_rows(sigs: DataFrame, k: int = MINHASH_K, bands: int = LSH_BANDS) -> DataFrame:
+    """Signature table → one (doc_id, band, bucket) row per band.
+    bucket = md5 of the band's signature slice, so banded rows are a
+    deterministic pure function of the text — appends to a persisted
+    index never disagree with earlier builds."""
+    rows_per_band = k // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"sig{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *parts)).alias("bucket"))
+        )
+    return sigs.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def materialize_minhash_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    mode: str = "overwrite",
+) -> None:
+    """Ingest-time MinHash-LSH index: persist the corpus's banded rows
+    (doc_id, band, bucket — ~bands·48 B/doc, never the text) so
+    incremental dedup of a new batch tokenizes and minhashes ONLY the
+    batch. ``mode="append"`` grows the index after each accepted batch
+    (the md5 chain is deterministic — appends are consistent with any
+    earlier build). At 100 TB this is the difference between
+    re-minhashing the whole corpus per increment and an O(|batch|)
+    signature pass + a bucket join."""
+    if k % bands != 0:
+        raise ValueError(f"k={k} not divisible by bands={bands}")
+    banded = banded_rows(minhash_signatures(df, text_col, k), k, bands)
+    banded.write.partitionBy("band").mode(mode).parquet(path)
+
+
+def lsh_pairs_vs_index(
+    spark,
+    path: str,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Incremental LSH candidate pairs: new batch vs a materialized
+    index AND within the new batch — exactly the pairs
+    ``minhash_lsh_pairs(corpus ∪ batch)`` would emit that touch ≥1
+    batch doc (corpus-internal pairs were already known when the index
+    was built; re-emitting them per increment is wasted work).
+
+    Plan shape: signatures are computed for the BATCH ONLY; the index
+    side is pruned to the batch's buckets with a broadcast semi-join
+    before the pair join (a daily increment touches a tiny fraction of
+    the corpus's buckets — the big side is pruned map-side, no
+    shuffle). ``max_bucket_size`` counts over the pruned-union rows,
+    which equals the full-union count for every bucket that can emit an
+    incremental pair — cap semantics match the batch variant."""
+    idx = spark.read.parquet(path).select(
+        "doc_id", "band", "bucket", F.lit(False).alias("is_new")
+    )
+    banded_new = banded_rows(
+        minhash_signatures(new_docs, text_col, k), k, bands
+    ).withColumn("is_new", F.lit(True))
+    probe = F.broadcast(banded_new.select("band", "bucket").distinct())
+    rows = idx.join(probe, ["band", "bucket"], "left_semi").unionByName(
+        banded_new
+    )
+    if max_bucket_size is not None:
+        sizes = (
+            rows.groupBy("band", "bucket")
+            .agg(F.count("*").alias("__bs"))
+            .where(F.col("__bs") <= max_bucket_size)
+            .drop("__bs")
+        )
+        rows = rows.join(sizes, ["band", "bucket"], "left_semi")
+    a = rows.alias("a")
+    b_ = rows.alias("b")
+    return (
+        a.join(b_, ["band", "bucket"])
+        .where(
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.is_new") | F.col("b.is_new"))
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -212,16 +306,7 @@ def minhash_lsh_pairs(
             "bucket, weakening LSH recall"
         )
     sigs = minhash_signatures(df, text_col, k)
-    rows_per_band = k // bands
-    band_cols = []
-    for b in range(bands):
-        parts = [F.col(f"sig{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *parts)).alias("bucket"))
-        )
-    banded = sigs.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    banded = banded_rows(sigs, k, bands)
     if max_bucket_size is not None:
         sizes = (
             banded.groupBy("band", "bucket")

@@ -82,6 +82,54 @@ def test_minhash_lsh_finds_duplicates(corpus):
     assert (0, 3) not in pairs
 
 
+def test_lsh_pairs_vs_index_matches_batch(corpus, spark, tmp_path):
+    """Incremental index probe == full-batch pairs filtered to pairs
+    touching a new doc; appending the batch then probing a later batch
+    keeps the invariant."""
+    old = corpus.where("doc_id < 4")
+    new = corpus.where("doc_id >= 4")
+    path = str(tmp_path / "mhidx")
+    dedup.materialize_minhash_index(old, path)
+    got = {
+        (r["doc_a"], r["doc_b"]): r["n_shared_bands"]
+        for r in dedup.lsh_pairs_vs_index(spark, path, new).collect()
+    }
+    want = {
+        (r["doc_a"], r["doc_b"]): r["n_shared_bands"]
+        for r in dedup.minhash_lsh_pairs(corpus).collect()
+        if r["doc_a"] >= 4 or r["doc_b"] >= 4
+    }
+    assert got == want
+    assert (0, 4) in got and (0, 1) not in got  # old-old pairs excluded
+
+    # append mode: grow the index with the accepted batch, probe again
+    dedup.materialize_minhash_index(new, path, mode="append")
+    later = spark.createDataFrame(
+        [(9, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    got2 = {
+        (r["doc_a"], r["doc_b"]): r["n_shared_bands"]
+        for r in dedup.lsh_pairs_vs_index(spark, path, later).collect()
+    }
+    assert got2[(0, 9)] == dedup.LSH_BANDS and got2[(4, 9)] == dedup.LSH_BANDS
+
+
+def test_lsh_pairs_vs_index_bucket_cap(corpus, spark, tmp_path):
+    """max_bucket_size counts over index+batch combined: 3 dup docs in
+    the index + 1 dup in the batch = bucket of 4, capped at 3."""
+    path = str(tmp_path / "mhidx_cap")
+    dedup.materialize_minhash_index(corpus.where("doc_id IN (0, 1, 4)"), path)
+    batch = spark.createDataFrame(
+        [(9, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    capped = dedup.lsh_pairs_vs_index(spark, path, batch, max_bucket_size=3)
+    assert capped.count() == 0
+    uncapped = dedup.lsh_pairs_vs_index(spark, path, batch)
+    assert uncapped.count() == 3  # (0,9) (1,9) (4,9)
+
+
 def test_ngram_jaccard(corpus):
     pairs = {
         (r["doc_a"], r["doc_b"]): r["jaccard"]
