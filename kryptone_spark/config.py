@@ -96,6 +96,12 @@ class CrawlConfig:
     # None = unbounded (reference parity). Exhausted domains retire
     # through the blocked channel so the frontier drains.
     max_pages_per_domain: int | None = None
+    # fetch-failure retry budget (engine-only; the reference drops a
+    # failed fetch on the floor — base.py:1096-1101 `continue`s, the
+    # URL stays seen, never visits, never retries = max_retries 0).
+    # N > 0 reschedules a failed URL in later waves until its failure
+    # count exceeds N, then it retires to the fetch_failed table.
+    max_retries: int = 0
 
     # partitioning (engine-only; W4 salted domain buckets)
     n_domain_buckets: int = 64

@@ -70,6 +70,10 @@ def _admit_exprs(config: CrawlConfig, refresh: bool) -> dict[str, Column]:
     from pyspark import SparkContext
 
     sc = SparkContext._active_spark_context
+    if config.canonicalize not in ("parity", "full"):
+        raise ValueError(
+            f"canonicalize must be parity|full, got {config.canonicalize!r}"
+        )
     key = (
         id(sc),
         config.start_url,
@@ -80,6 +84,8 @@ def _admit_exprs(config: CrawlConfig, refresh: bool) -> dict[str, Column]:
         tuple(config.image_extensions),
         config.n_domain_buckets,
         refresh,
+        config.canonicalize,
+        tuple(config.tracking_params),
     )
     cached = _EXPR_CACHE.get(key)
     if cached is not None:
@@ -145,8 +151,18 @@ def _admit_exprs(config: CrawlConfig, refresh: bool) -> dict[str, Column]:
     if config.ignore_url_regexes:
         filtered = filtered | _rlike_any(url, config.ignore_url_regexes)
 
+    # P2 resolution; in canonicalize="full" mode the north-rule
+    # canonicalizer composes INTO the same expression, so its
+    # higher-order filter stays inside the one already-isolated
+    # non-codegen projection (test_plans' plan-shape pin holds for
+    # both modes). Fragments are then stripped before the predicate
+    # chain, so the parity 'fragment' rejection never fires — stripped,
+    # not rejected, exactly the URLManager-mode contract.
+    resolve = U.resolve_relative(F.col("url_raw"), F.lit(origin_lit))
+    if config.canonicalize == "full":
+        resolve = U.canonicalize_full(resolve, config.tracking_params)
     exprs = {
-        "resolve": U.resolve_relative(F.col("url_raw"), F.lit(origin_lit)),
+        "resolve": resolve,
         "netloc": U.netloc(url),
         "path": U.path(url),
         "query": U.query(url),

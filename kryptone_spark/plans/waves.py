@@ -69,7 +69,7 @@ class CrawlResult:
 # state tables flushed per wave; lineage last = commit marker
 _DELTA_TABLES = (
     "fetch_batches", "visited", "seen", "frontier",
-    "edges", "robots_blocked", "lineage",
+    "edges", "robots_blocked", "fetch_failed", "lineage",
 )
 
 
@@ -90,6 +90,7 @@ class WaveRunner:
         priority: str = "fifo",
         rank_every: int = 1,
         compact_every: int = 0,
+        fetch_failures: DataFrame | None = None,
     ):
         self.spark = spark
         self.config = config
@@ -140,9 +141,16 @@ class WaveRunner:
         self._bloom_sidecar: list[dict] | DataFrame | None = None
         self._bloom_deltas = 0  # merges since last compaction
         self.bloom_compact_every = 8
+        # fetch-failure feed (url, n_failures): in production this dim
+        # is the fetch layer's error responses; here the "browser" is a
+        # table join, so failure is data too — the first n_failures
+        # attempts at a URL fail. None = every fetch succeeds (and the
+        # wave plan is byte-identical to before the feature existed).
+        self.fetch_failures = fetch_failures
         # cumulative in-memory state (lineage-cut per wave)
         self._state: dict[str, DataFrame | None] = {
-            "seen": None, "visited": None, "frontier": None, "robots_blocked": None,
+            "seen": None, "visited": None, "frontier": None,
+            "robots_blocked": None, "fetch_failed": None,
         }
         # per-wave deltas not yet flushed: (table, partition_wave, df,
         # commit_group) — commit_group is the wave that PRODUCED the
@@ -277,6 +285,17 @@ class WaveRunner:
             pending = pending.join(visited.select("url"), "url", "left_anti")
         if blocked is not None:
             pending = pending.join(blocked.select("url"), "url", "left_anti")
+        # retire URLs whose failure count exhausted the retry budget
+        # (count > max_retries); still-retryable URLs stay pending and
+        # reschedule this wave — backoff is one wave per attempt
+        failed = self._state["fetch_failed"]
+        if failed is not None:
+            retired = (
+                failed.groupBy("url")
+                .agg(F.count("*").alias("__nf"))
+                .where(F.col("__nf") > self.config.max_retries)
+            )
+            pending = pending.join(retired.select("url"), "url", "left_anti")
 
         if self.priority == "pagerank":
             from kryptone_spark.operators import linkgraph
@@ -296,25 +315,73 @@ class WaveRunner:
             salt_buckets=self.config.effective_salt_buckets,
             fetched_counts=self._fetched_counts,
         )
+        if self.fetch_failures is not None:
+            # attempt number = prior failures + 1; the first n_failures
+            # attempts fail. Both dims are joined onto the wave-sized
+            # batch (failures is broadcast — it's the error-prone slice
+            # of the corpus, not the corpus); prior counts are
+            # O(#failing urls).
+            b = batch.join(
+                F.broadcast(self.fetch_failures.select("url", "n_failures")),
+                "url", "left",
+            )
+            if failed is not None:
+                prior = failed.groupBy("url").agg(F.count("*").alias("__pf"))
+                b = b.join(prior, "url", "left")
+            else:
+                b = b.withColumn("__pf", F.lit(None).cast("long"))
+            batch = (
+                b.withColumn("__attempt", F.coalesce(F.col("__pf"), F.lit(0)) + 1)
+                .withColumn(
+                    "__failed",
+                    F.col("__attempt") <= F.coalesce(F.col("n_failures"), F.lit(0)),
+                )
+                .drop("n_failures", "__pf")
+            )
         batch = batch.localCheckpoint(eager=False)
         # one job: materializes the lazy checkpoint AND collects the
         # scalars the driver needs (count, virtual duration, and the
         # lexicographically-first URL = rank_in_wave 0, for the wave-0
         # home-page rule) — no separate first() job.
+        ok_expr = (
+            ~F.col("__failed") if self.fetch_failures is not None else F.lit(True)
+        )
         stats = batch.agg(
             F.count("*").alias("n"),
+            F.sum(ok_expr.cast("long")).alias("n_ok"),
             F.max(F.col("rank_in_domain") * F.col("crawl_delay")).alias("dur"),
             F.min("url").alias("first_url"),
         ).collect()[0]
-        fetched = stats["n"]
+        scheduled = stats["n"]
+        fetched = int(stats["n_ok"] or 0)
         t1 = time.perf_counter()
         self.phase_seconds["schedule"] += t1 - t0
         if self.robots is not None or self.config.max_pages_per_domain is not None:
             self._append_state("robots_blocked", new_blocked)
             self._queue_flush("robots_blocked", wave, new_blocked, group=wave)
-        if fetched == 0:
+        if scheduled == 0:
+            # nothing schedulable at all — the crawl is drained
             self.flush()
             return None
+        if self.fetch_failures is not None:
+            # failed attempts: recorded (url, wave, attempt) — they
+            # consumed their politeness slot (fetch_at kept so resume
+            # rebuilds the virtual clock over successes AND failures),
+            # are NOT visited, and produce no links. An all-failed wave
+            # still completes (empty downstream, lineage committed) so
+            # retryable URLs get their next attempt next wave.
+            failed_now = batch.where(F.col("__failed")).select(
+                "url", "domain", "domain_bucket",
+                F.col("wave"),
+                F.col("__attempt").cast("int").alias("attempt"),
+                "fetch_at", "crawl_delay",
+            ).localCheckpoint(eager=False)
+            # in-memory state drops the wave col so it unions cleanly
+            # with a resume()-reloaded table (read() strips the wave
+            # partition the same way — mirrors the visited pattern)
+            self._append_state("fetch_failed", failed_now.drop("wave"))
+            self._queue_flush("fetch_failed", wave, failed_now, group=wave)
+            batch = batch.where(~F.col("__failed")).drop("__attempt", "__failed")
 
         # Right-size the wave: the checkpointed batch carries
         # shuffle.partitions partitions regardless of row count, and
@@ -622,12 +689,13 @@ class WaveRunner:
                 break
         for t in ("seen", "frontier"):
             self.io.drop_waves_after(t, next_wave)
-        for t in ("visited", "fetch_batches", "edges", "lineage", "robots_blocked"):
+        for t in ("visited", "fetch_batches", "edges", "lineage",
+                  "robots_blocked", "fetch_failed"):
             self.io.drop_waves_after(t, next_wave - 1)
         if next_wave == 0:
             return self.run(max_waves=max_waves)
         # reload committed state into memory
-        for t in ("seen", "frontier", "visited", "robots_blocked"):
+        for t in ("seen", "frontier", "visited", "robots_blocked", "fetch_failed"):
             df = self.io.read(t)
             if df is not None:
                 self._state[t] = df.drop("wave").localCheckpoint(eager=False)
@@ -640,15 +708,26 @@ class WaveRunner:
                     .agg(F.count("*").alias("n_fetched"))
                     .localCheckpoint(eager=False)
                 )
-        # rebuild the virtual clock offset from committed batches
+        # rebuild the virtual clock offset from committed batches —
+        # failed attempts consumed politeness slots too, so the max
+        # spans fetch_batches AND fetch_failed
         fb = self.io.read("fetch_batches")
-        if fb is not None:
+        ff = self.io.read("fetch_failed")
+        ends = [
+            df.select(
+                (F.col("fetch_at").cast("double") + F.col("crawl_delay")).alias("end")
+            )
+            for df in (fb, ff)
+            if df is not None
+        ]
+        if ends:
             # cast, not unix_timestamp: truncating fetch_at to whole
             # seconds would make resumed schedules diverge from an
             # uninterrupted run whenever crawl delays are fractional
-            row = fb.agg(
-                F.max(F.col("fetch_at").cast("double") + F.col("crawl_delay"))
-            ).collect()[0][0]
+            allends = ends[0]
+            for e in ends[1:]:
+                allends = allends.unionByName(e)
+            row = allends.agg(F.max("end")).collect()[0][0]
             if row is not None:
                 self._offset = max(0.0, row - schedule.EPOCH.timestamp())
         return self.run(max_waves=max_waves, start_wave=next_wave)

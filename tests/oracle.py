@@ -51,6 +51,7 @@ class OracleState:
     crawl_order: list[tuple[int, int, str]] = field(default_factory=list)
     seen_verdicts: dict[str, str] = field(default_factory=dict)
     reject_reasons: dict[str, str] = field(default_factory=dict)
+    failed_attempts: list[tuple[int, int, str]] = field(default_factory=list)
 
 
 def check_urls(
@@ -148,9 +149,22 @@ def schedule(frontier: set[str], config: CrawlConfig) -> list[str]:
     return sorted(batch)
 
 
-def crawl(docs: list[dict], config: CrawlConfig) -> OracleState:
-    """Wave-structured BFS with lexicographic intra-wave order."""
+def crawl(
+    docs: list[dict],
+    config: CrawlConfig,
+    failures: dict[str, int] | None = None,
+) -> OracleState:
+    """Wave-structured BFS with lexicographic intra-wave order.
+
+    ``failures`` maps url -> n_failures (the first n attempts at the
+    URL fail: not visited, no links, the politeness slot is consumed —
+    reference base.py:1096-1101 drops a failed fetch with `continue`).
+    A failed URL retries once per wave until its failure count exceeds
+    ``config.max_retries``, then retires (max_retries=0 = reference
+    parity: one strike and it's gone)."""
     pages = {r["doc_id"]: r["spans"] for r in docs}
+    fail_n = failures or {}
+    attempts: dict[str, int] = {}
     state = OracleState()
 
     seeds = check_urls(list(dict.fromkeys(config.start_urls)), config, state)
@@ -159,7 +173,15 @@ def crawl(docs: list[dict], config: CrawlConfig) -> OracleState:
     wave = 0
     while state.frontier and wave < config.max_waves:
         batch = schedule(state.frontier, config)
+        if not batch:
+            break
         for rank, url in enumerate(batch):
+            if attempts.get(url, 0) < fail_n.get(url, 0):
+                attempts[url] = attempts.get(url, 0) + 1
+                state.failed_attempts.append((wave, attempts[url], url))
+                if attempts[url] > config.max_retries:
+                    state.frontier.discard(url)  # retired
+                continue
             state.frontier.discard(url)
             state.visited.add(url)
             state.crawl_order.append((wave, rank, url))

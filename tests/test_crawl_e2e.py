@@ -327,6 +327,116 @@ def test_pagerank_priority_fetches_hub_earlier(spark, tmp_path):
     assert pr_order.index(hub) < fifo_order.index(hub)
 
 
+def test_canonicalize_full_collapses_aliases(spark, site, tmp_path):
+    """canonicalize='full' (north-rule URLManager mode): tracking
+    params and fragments on links collapse back to the canonical page —
+    the crawl visits exactly the clean site's pages. Parity mode treats
+    the same decorated links as distinct URLs (utm aliases fork, 404;
+    fragments reject) and diverges."""
+    import copy
+
+    decorated = copy.deepcopy(site)
+    i = 0
+    for row in decorated:
+        for s in row["spans"]:
+            if s["kind"] == "link":
+                i += 1
+                if i % 3 == 0:
+                    sep = "&" if "?" in s["media_ref"] else "?"
+                    s["media_ref"] += f"{sep}utm_source=news"
+                elif i % 3 == 1:
+                    s["media_ref"] += "#section-2"
+
+    clean = oracle.crawl(
+        site, CrawlConfig(start_urls=["http://sitea.test/"], ignore_images=True)
+    )
+    config = CrawlConfig(
+        start_urls=["http://sitea.test/"], ignore_images=True,
+        canonicalize="full",
+    )
+    io, _ = run_engine(spark, decorated, config, tmp_path / "canon")
+    visited = {r["url"] for r in io.read("visited").collect()}
+    assert visited == clean.visited
+    assert not any("utm_source" in u or "#" in u for u in visited)
+
+    parity_cfg = CrawlConfig(
+        start_urls=["http://sitea.test/"], ignore_images=True
+    )
+    io_p, _ = run_engine(spark, decorated, parity_cfg, tmp_path / "par")
+    visited_p = {r["url"] for r in io_p.read("visited").collect()}
+    assert visited_p != clean.visited
+    assert any("utm_source" in u for u in visited_p)  # aliases forked
+
+
+def test_fetch_failures_reference_parity(spark, site, tmp_path):
+    """max_retries=0 = reference semantics (base.py:1096-1101): a
+    failed fetch consumes its politeness slot, is never visited, never
+    retried, produces no links — full oracle parity on order/seen/
+    visited, plus the failure log matches attempt-for-attempt."""
+    # fail two real pages permanently, one transiently (but retries=0)
+    urls = sorted({r["doc_id"] for r in site if "sitea" in r["doc_id"]})
+    failing = {urls[1]: 99, urls[3]: 1}
+    config = CrawlConfig(start_urls=["http://sitea.test/"], ignore_images=True)
+    state = oracle.crawl(site, config, failures=failing)
+    ok_state = oracle.crawl(site, config)
+    assert state.visited < ok_state.visited  # failures really cut reach
+
+    io = TableIO(spark, str(tmp_path / "f0"))
+    fdim = spark.createDataFrame(
+        list(failing.items()), "url string, n_failures int"
+    )
+    runner = WaveRunner(
+        spark, config, site_df(spark, site), io, fetch_failures=fdim
+    )
+    runner.run()
+    assert_parity(io, state)
+    eng_failed = sorted(
+        (r["wave"], r["attempt"], r["url"])
+        for r in io.read("fetch_failed").collect()
+    )
+    assert eng_failed == sorted(state.failed_attempts)
+    assert all(a == 1 for _, a, _ in eng_failed)  # no retries at 0
+
+
+def test_fetch_failures_retry_budget(spark, site, tmp_path):
+    """max_retries=2: a URL failing twice succeeds on attempt 3 and the
+    crawl converges to the no-failure visited set; a URL failing
+    forever retires after 3 attempts; resume honours attempt counts."""
+    urls = sorted({r["doc_id"] for r in site if "sitea" in r["doc_id"]})
+    transient, permanent = urls[2], urls[4]
+    failing = {transient: 2, permanent: 99}
+    config = CrawlConfig(
+        start_urls=["http://sitea.test/"], ignore_images=True,
+        max_retries=2, max_waves=64,
+    )
+    state = oracle.crawl(site, config, failures=failing)
+    assert transient in state.visited and permanent not in state.visited
+
+    fdim = spark.createDataFrame(
+        list(failing.items()), "url string, n_failures int"
+    )
+    io = TableIO(spark, str(tmp_path / "f2"))
+    WaveRunner(
+        spark, config, site_df(spark, site), io, fetch_failures=fdim
+    ).run()
+    assert_parity(io, state)
+    by_url = {}
+    for r in io.read("fetch_failed").collect():
+        by_url.setdefault(r["url"], []).append(r["attempt"])
+    assert sorted(by_url[transient]) == [1, 2]
+    assert sorted(by_url[permanent]) == [1, 2, 3]  # retired after 3
+
+    # resume mid-crawl: same final state as the uninterrupted run
+    io_r = TableIO(spark, str(tmp_path / "f2r"))
+    WaveRunner(
+        spark, config, site_df(spark, site), io_r, fetch_failures=fdim
+    ).run(max_waves=2)
+    WaveRunner(
+        spark, config, site_df(spark, site), io_r, fetch_failures=fdim
+    ).resume()
+    assert_parity(io_r, state)
+
+
 def test_max_pages_per_domain_quota(spark, tmp_path):
     """Global queue budget: a domain stops fetching at the cap, the
     crawl still drains, other domains are unaffected, and a resumed
