@@ -462,6 +462,21 @@ def q_docs_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source rebalance at T=2 (expected kept counts
+    ∝ n^0.5, downsample-only, most-boosted source keeps all rows) —
+    operators/curation.py:temperature_mix. The oracle re-derives the
+    per-source thresholds (pow/round/floor spelled identically) and the
+    same portable md5 bucket per doc."""
+    from kryptone_spark.operators import curation
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    kept = curation.temperature_mix(docs, temperature=2.0)
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"), F.sum("n_chars").alias("chars_kept")
+    )
+
+
 def q_docs_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget shard plan: docs in doc_id order fill 1000-token
     training shards; shard_id = floor(exclusive running sum / budget)
@@ -1630,6 +1645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_lsh_incremental": q_docs_lsh_incremental,
         "docs_dup_clusters": q_docs_dup_clusters,
         "docs_sample_mix": q_docs_sample_mix,
+        "docs_temperature_mix": q_docs_temperature_mix,
         "docs_shard_pack": q_docs_shard_pack,
         "docs_jaccard": q_docs_jaccard,
         "docs_simhash": q_docs_simhash,
@@ -2034,6 +2050,22 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(l.cluster_id, d.doc_id) AS cluster_id,
                    (d.doc_id = coalesce(l.cluster_id, d.doc_id)) AS is_canonical
             FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+        """,
+        "docs_temperature_mix": f"""
+            WITH c AS (
+              SELECT source, pow(count(*)::DOUBLE, -0.5) AS pw
+              FROM documents GROUP BY source),
+            m AS (SELECT max(pw) AS mx FROM c),
+            t AS (SELECT source, floor(round(pw / mx, 6) * 65536)::INT AS thresh
+                  FROM c, m),
+            b AS (
+              SELECT d.doc_id, d.source, d.n_chars,
+                     substr(md5(d.doc_id::VARCHAR), 1, 4) AS h16, t.thresh
+              FROM documents d JOIN t USING (source)),
+            kept AS (SELECT * FROM b WHERE {_HEXVAL} < thresh)
+            SELECT source, count(*)::BIGINT AS n_kept,
+                   sum(n_chars)::BIGINT AS chars_kept
+            FROM kept GROUP BY source
         """,
         "docs_sample_mix": f"""
             WITH b AS (SELECT doc_id, lang, substr(md5(doc_id::VARCHAR), 1, 4) AS h16 FROM documents),

@@ -102,6 +102,49 @@ def stratified_take(
     )
 
 
+def temperature_mix(
+    df: DataFrame,
+    temperature: float,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-scaled source rebalancing (the mT5/CC-mix move):
+    expected kept counts ∝ n_i^(1/T). Downsample-only — keep_frac_i =
+    (n_i^(α-1)) / max_j(n_j^(α-1)) with α = 1/T, so the most-boosted
+    source keeps everything and no row is ever duplicated. T=1 is a
+    no-op; T→∞ flattens toward a uniform source mix; T<1 sharpens
+    toward the head sources.
+
+    Fully in-plan: one groupBy(source) count (O(#sources) rows), a
+    1-row max broadcast-crossjoined back, and the same portable md5
+    bucket as ``hash_sample`` for the keep decision — deterministic,
+    join-stable, engine-portable (the fraction is rounded to 6 dp
+    before thresholding so JVM/libm pow ulp noise can't flip a row).
+    At 100 TB this is a metadata-sized agg plus a narrow filter; no
+    row-level shuffle."""
+    if temperature <= 0:
+        raise ValueError(f"temperature must be positive, got {temperature}")
+    alpha = 1.0 / temperature
+    counts = df.groupBy(source_col).agg(
+        F.pow(F.count("*").cast("double"), F.lit(alpha - 1.0)).alias("__pw")
+    )
+    norm = counts.agg(F.max("__pw").alias("__mx"))
+    fracs = counts.crossJoin(F.broadcast(norm)).select(
+        source_col,
+        # explicit floor: Spark's int cast truncates but DuckDB's
+        # ::INT rounds — floor() is the portable spelling of both
+        F.floor(F.round(F.col("__pw") / F.col("__mx"), 6) * BUCKETS)
+        .cast("int")
+        .alias("__thresh"),
+    )
+    return (
+        df.join(F.broadcast(fracs), source_col)
+        .where(portable_bucket(F.col(key_col), salt) < F.col("__thresh"))
+        .drop("__thresh")
+    )
+
+
 def pack_shards(
     df: DataFrame,
     budget: int | float,

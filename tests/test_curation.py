@@ -107,9 +107,42 @@ def test_pack_shards_oversized_doc_own_shard(spark):
     assert got == {"a": 0, "b": 0, "c": 50}
 
 
+def test_temperature_mix_matches_python_oracle(spark):
+    """T=2 on a 1500/60-row skew: thresholds from the same
+    pow/round/floor arithmetic, membership from the same md5 bucket —
+    exact row-set equality with a hashlib reimplementation. T=1 keeps
+    everything; higher T flattens the mix further."""
+    rows = [(f"big{i:04d}", "big") for i in range(1500)] + [
+        (f"sml{i:04d}", "small") for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, source string")
+
+    def expect(temp):
+        alpha = 1.0 / temp
+        pw = {"big": 1500 ** (alpha - 1), "small": 60 ** (alpha - 1)}
+        mx = max(pw.values())
+        thr = {s: int(round(p / mx, 6) * 65536 // 1) for s, p in pw.items()}
+        return {d for d, s in rows if _bucket(d) < thr[s]}
+
+    got2 = {r["doc_id"] for r in curation.temperature_mix(df, 2.0).collect()}
+    assert got2 == expect(2.0)
+    kept2 = Counter(d[:3] for d in got2)
+    # expected counts ∝ n^0.5: small keeps ~all, big keeps ~sqrt ratio
+    assert kept2["sml"] == 60
+    assert 0.15 < kept2["big"] / 1500 < 0.25  # sqrt(60/1500) ≈ 0.2
+
+    got1 = curation.temperature_mix(df, 1.0).count()
+    assert got1 == len(rows)  # T=1 is a no-op
+    got8 = {r["doc_id"] for r in curation.temperature_mix(df, 8.0).collect()}
+    assert got8 == expect(8.0)
+    assert len(got8 & {d for d, _ in rows}) == len(got8)  # subset, no dup
+
+
 def test_validation_errors(docs):
     with pytest.raises(ValueError):
         curation.hash_sample(docs, 1.5)
+    with pytest.raises(ValueError):
+        curation.temperature_mix(docs, 0.0, source_col="lang")
     with pytest.raises(ValueError):
         curation.stratified_sample(docs, {"en": -0.1}, "lang")
     with pytest.raises(ValueError):
