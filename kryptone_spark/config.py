@@ -102,6 +102,12 @@ class CrawlConfig:
     # N > 0 reschedules a failed URL in later waves until its failure
     # count exceeds N, then it retires to the fetch_failed table.
     max_retries: int = 0
+    # Heritrix-style error backoff (engine-only): a domain that failed
+    # k fetches in the previous wave has its crawl_delay multiplied by
+    # failure_backoff^min(k, 6) for the next wave (timing only — order
+    # and reach are untouched). None = no backoff. Requires a
+    # fetch_failures feed to ever observe failures.
+    failure_backoff: float | None = None
 
     # partitioning (engine-only; W4 salted domain buckets)
     n_domain_buckets: int = 64

@@ -64,6 +64,7 @@ def politeness_schedule(
     global_rank: bool = True,
     salt_buckets: int = 0,
     fetched_counts: DataFrame | None = None,
+    domain_backoff: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Rank pending URLs per domain and take each domain's budget.
 
@@ -89,6 +90,23 @@ def politeness_schedule(
     partition (skew-join handling is on in session.py).
     """
     pending = with_robots(pending, robots, config)
+    # Heritrix-style error backoff: ``domain_backoff`` (domain,
+    # backoff_mult) — an O(#error-domains) dim the caller derives from
+    # the previous wave's fetch failures — stretches the domain's
+    # crawl_delay (so fetch_at spacing), never the ordering. Absent
+    # domains keep their normal delay.
+    if domain_backoff is not None:
+        bo = domain_backoff.select(
+            "domain", F.col("backoff_mult").alias("__bo")
+        )
+        pending = (
+            pending.join(F.broadcast(bo), "domain", "left")
+            .withColumn(
+                "crawl_delay",
+                F.col("crawl_delay") * F.coalesce(F.col("__bo"), F.lit(1.0)),
+            )
+            .drop("__bo")
+        )
     blocked = pending.where(F.col("robots_blocked")).drop(
         "robots_blocked", "crawl_delay"
     )

@@ -147,6 +147,9 @@ class WaveRunner:
         # attempts at a URL fail. None = every fetch succeeds (and the
         # wave plan is byte-identical to before the feature existed).
         self.fetch_failures = fetch_failures
+        # previous wave's per-domain failure counts → crawl_delay
+        # multiplier for the next schedule (config.failure_backoff)
+        self._domain_backoff: DataFrame | None = None
         # cumulative in-memory state (lineage-cut per wave)
         self._state: dict[str, DataFrame | None] = {
             "seen": None, "visited": None, "frontier": None,
@@ -314,6 +317,7 @@ class WaveRunner:
             wave_start_offset=self._offset, global_rank=self.global_rank,
             salt_buckets=self.config.effective_salt_buckets,
             fetched_counts=self._fetched_counts,
+            domain_backoff=self._domain_backoff,
         )
         if self.fetch_failures is not None:
             # attempt number = prior failures + 1; the first n_failures
@@ -381,6 +385,21 @@ class WaveRunner:
             # partition the same way — mirrors the visited pattern)
             self._append_state("fetch_failed", failed_now.drop("wave"))
             self._queue_flush("fetch_failed", wave, failed_now, group=wave)
+            if self.config.failure_backoff is not None:
+                # rebuild (not accumulate) each wave: a clean wave
+                # resets the domain to its normal delay. min(k, 6)
+                # caps the exponent so one pathological wave can't
+                # freeze a domain out numerically.
+                self._domain_backoff = (
+                    failed_now.groupBy("domain")
+                    .agg(
+                        F.pow(
+                            F.lit(float(self.config.failure_backoff)),
+                            F.least(F.count("*"), F.lit(6)).cast("double"),
+                        ).alias("backoff_mult")
+                    )
+                    .localCheckpoint(eager=False)
+                )
             batch = batch.where(~F.col("__failed")).drop("__attempt", "__failed")
 
         # Right-size the wave: the checkpointed batch carries
@@ -706,6 +725,25 @@ class WaveRunner:
                 self._fetched_counts = (
                     fbq.groupBy("domain")
                     .agg(F.count("*").alias("n_fetched"))
+                    .localCheckpoint(eager=False)
+                )
+        # rebuild the error-backoff dim from the LAST committed wave's
+        # failures (the only wave whose counts affect the next schedule)
+        if (
+            self.config.failure_backoff is not None
+            and self.fetch_failures is not None
+        ):
+            ff_all = self.io.read("fetch_failed")
+            if ff_all is not None:
+                last = ff_all.where(F.col("wave") == next_wave - 1)
+                self._domain_backoff = (
+                    last.groupBy("domain")
+                    .agg(
+                        F.pow(
+                            F.lit(float(self.config.failure_backoff)),
+                            F.least(F.count("*"), F.lit(6)).cast("double"),
+                        ).alias("backoff_mult")
+                    )
                     .localCheckpoint(eager=False)
                 )
         # rebuild the virtual clock offset from committed batches —

@@ -437,6 +437,52 @@ def test_fetch_failures_retry_budget(spark, site, tmp_path):
     assert_parity(io_r, state)
 
 
+def test_failure_backoff_stretches_schedule(spark, site, tmp_path):
+    """failure_backoff=4: the wave after a domain's failure schedules
+    that domain with 4x fetch_at spacing; a clean wave resets it.
+    Ordering, seen, and visited stay oracle-exact — backoff is timing
+    only."""
+    urls = sorted({r["doc_id"] for r in site if "sitea" in r["doc_id"]})
+    failing = {urls[1]: 1}
+    config = CrawlConfig(
+        start_urls=["http://sitea.test/"], ignore_images=True,
+        max_retries=2, failure_backoff=4.0, max_per_domain_per_wave=4,
+        max_waves=40,
+    )
+    state = oracle.crawl(site, config, failures=failing)
+    fdim = spark.createDataFrame(
+        list(failing.items()), "url string, n_failures int"
+    )
+    io = TableIO(spark, str(tmp_path / "bo"))
+    WaveRunner(
+        spark, config, site_df(spark, site), io, fetch_failures=fdim
+    ).run()
+    assert_parity(io, state)
+
+    fail_wave = io.read("fetch_failed").collect()[0]["wave"]
+    gaps = {}
+    for w, rows in _group(io.read("fetch_batches"), "wave"):
+        ts = sorted(
+            r["fetch_at"].timestamp()
+            for r in rows
+            if r["domain"] == "sitea.test"
+        )
+        if len(ts) >= 2:
+            gaps[w] = round(ts[1] - ts[0], 3)
+    assert gaps[fail_wave + 1] == round(4.0 * config.wait_time, 3)
+    clean = [w for w in gaps if w != fail_wave + 1]
+    assert clean and all(
+        gaps[w] == round(config.wait_time, 3) for w in clean
+    ), gaps
+
+
+def _group(df, col):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r[col], []).append(r)
+    return sorted(out.items())
+
+
 def test_max_pages_per_domain_quota(spark, tmp_path):
     """Global queue budget: a domain stops fetching at the cap, the
     crawl still drains, other domains are unaffected, and a resumed
