@@ -131,6 +131,13 @@ class CrawlConfig:
     # params, lowercase scheme+host, normalize trailing slash).
     canonicalize: str = "parity"
     tracking_params: tuple[str, ...] = DEFAULT_TRACKING_PARAMS
+    # the reference's `ignore_queries` Meta option (base.py:68-69,158;
+    # docs/filtering_urls.txt:11) is declared but never enforced in
+    # check_urls — dead config there. Here it is a real, off-by-default
+    # admission step: strip the query string from every resolved URL
+    # (fragment preserved, so P6's reject-not-strip parity semantics
+    # are untouched). SURVEY §2.2 documented divergence.
+    ignore_queries: bool = False
 
     @property
     def effective_salt_buckets(self) -> int:

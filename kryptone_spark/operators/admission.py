@@ -86,6 +86,7 @@ def _admit_exprs(config: CrawlConfig, refresh: bool) -> dict[str, Column]:
         refresh,
         config.canonicalize,
         tuple(config.tracking_params),
+        config.ignore_queries,
     )
     cached = _EXPR_CACHE.get(key)
     if cached is not None:
@@ -159,6 +160,11 @@ def _admit_exprs(config: CrawlConfig, refresh: bool) -> dict[str, Column]:
     # chain, so the parity 'fragment' rejection never fires — stripped,
     # not rejected, exactly the URLManager-mode contract.
     resolve = U.resolve_relative(F.col("url_raw"), F.lit(origin_lit))
+    if config.ignore_queries:
+        # the reference's dead `ignore_queries` Meta option, enforced:
+        # drop '?...'-up-to-'#' so the fragment (and P6's reject
+        # semantics on it) survives. One regex, codegen-friendly.
+        resolve = F.regexp_replace(resolve, r"\?[^#]*", "")
     if config.canonicalize == "full":
         resolve = U.canonicalize_full(resolve, config.tracking_params)
     exprs = {

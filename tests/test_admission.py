@@ -202,3 +202,33 @@ def test_filter_cardinality_audit(spark):
         for r in admission.filter_cardinality(out).collect()
     }
     assert audit == {"kept": 1, "domain": 1, "fragment": 1, "image": 1}
+
+
+def test_ignore_queries_strips_query_keeps_fragment_semantics(spark):
+    """The reference's dead `ignore_queries` Meta option, enforced:
+    query strings strip (aliases collapse), fragments still REJECT
+    (P6 parity is untouched by the strip)."""
+    config = CrawlConfig(start_urls=["http://example.com/"], ignore_queries=True)
+    urls = [
+        "http://example.com/p?a=1",
+        "http://example.com/p?a=2",
+        "http://example.com/p",
+        "http://example.com/q?x=1#frag",
+        "http://example.com/r#frag",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    out = admission.admit(df, config, allow_home=False)
+    rows = {r["url_raw"]: r for r in out.collect()}
+    # all three aliases resolve to the same canonical admitted URL
+    assert {rows[u]["url"] for u in urls[:3]} == {"http://example.com/p"}
+    assert all(rows[u]["verdict"] == "valid" for u in urls[:3])
+    # fragment preserved by the strip, so P6 still rejects it
+    assert rows["http://example.com/q?x=1#frag"]["url"] == "http://example.com/q#frag"
+    assert rows["http://example.com/q?x=1#frag"]["reject_reason"] == "fragment"
+    assert rows["http://example.com/r#frag"]["reject_reason"] == "fragment"
+    # default config leaves queries alone
+    out_p = admission.admit(
+        df, CrawlConfig(start_urls=["http://example.com/"]), allow_home=False
+    )
+    kept = {r["url"] for r in out_p.collect() if r["verdict"] == "valid"}
+    assert "http://example.com/p?a=1" in kept
