@@ -771,6 +771,14 @@ def q_interleave_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     math is cross-checked, not the corpus arithmetic."""
     from kryptone_spark.operators import extract
 
+    return extract.interleave_profile(_variable_interleaved_docs(spark, sf_dir))
+
+
+def _variable_interleaved_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIABLE-layout interleaved docs: span templates kept/dropped by
+    doc_id arithmetic so media density, alt coverage, leading/trailing
+    kind and text-run length all vary; restated span-for-span in the
+    interleave_profile / image_text_pairs oracles."""
     d = _load(spark, sf_dir, "documents")
     did = F.col("doc_id").cast("long")
     ds = F.col("doc_id").cast("string")
@@ -797,8 +805,20 @@ def q_interleave_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(sp["offset"] == 5, did % 5 == 0)
         .otherwise(F.lit(True))
     )
-    docs = d.select(ds.alias("doc_id"), F.filter(all_spans, keep).alias("spans"))
-    return extract.interleave_profile(docs)
+    return d.select(ds.alias("doc_id"), F.filter(all_spans, keep).alias("spans"))
+
+
+def q_image_text_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-text pair mining (operators/multimodal.py:
+    image_context_pairs): nearest preceding/following text span per
+    image, as one shuffle-free array fold. The oracle is an
+    INDEPENDENT formulation — unnest + IGNORE NULLS window frames —
+    so the neighbor semantics are cross-checked, not transcribed."""
+    from kryptone_spark.operators import multimodal
+
+    return multimodal.image_context_pairs(
+        _variable_interleaved_docs(spark, sf_dir)
+    )
 
 
 def q_seo_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1664,6 +1684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_spans_extract": q_doc_spans_extract,
         "spans_audit": q_spans_audit,
         "interleave_profile": q_interleave_profile,
+        "image_text_pairs": q_image_text_pairs,
         "robots_rep": q_robots_rep,
         "redirect_resolve": q_redirect_resolve,
         "recrawl_schedule": q_recrawl_schedule,
@@ -2535,6 +2556,55 @@ def oracle_sql() -> dict[str, str]:
             SELECT v.k, v.url, v.robots_blocked,
                    coalesce(d.delay, 25.0)::DOUBLE AS crawl_delay
             FROM v LEFT JOIN rep_delays d ON v.domain = d.domain
+        """,
+        "image_text_pairs": """
+            WITH sp AS (
+              SELECT doc_id::VARCHAR AS doc_id,
+                     list_filter([
+                       struct_pack(kind := 'text',
+                                   txt := substr(text, 1, 30),
+                                   mref := '', off := 0),
+                       struct_pack(kind := 'image',
+                                   txt := CASE WHEN doc_id % 4 = 0 THEN ''
+                                               ELSE 'alt-' || doc_id END,
+                                   mref := 'https://img.test/i-' || doc_id || '.jpg',
+                                   off := 1),
+                       struct_pack(kind := 'text',
+                                   txt := substr(text, 31, 25),
+                                   mref := '', off := 2),
+                       struct_pack(kind := 'link', txt := 'next',
+                                   mref := 'https://docs.test/doc-' || ((doc_id + 1) % 500),
+                                   off := 3),
+                       struct_pack(kind := 'image', txt := '',
+                                   mref := 'https://img.test/j-' || doc_id || '.jpg',
+                                   off := 4),
+                       struct_pack(kind := 'email',
+                                   txt := 'c' || doc_id || '@docs.test',
+                                   mref := '', off := 5)
+                     ], s -> CASE s.off
+                               WHEN 0 THEN doc_id % 7 <> 0
+                               WHEN 1 THEN doc_id % 2 = 0
+                               WHEN 4 THEN doc_id % 3 = 0
+                               WHEN 5 THEN doc_id % 5 = 0
+                               ELSE true END) AS spans
+              FROM documents),
+            u AS (
+              SELECT doc_id, unnest(spans, recursive := true)
+              FROM sp),
+            w AS (
+              SELECT doc_id, kind, txt, mref, off,
+                     last_value(CASE WHEN kind = 'text' THEN txt END IGNORE NULLS)
+                       OVER (PARTITION BY doc_id ORDER BY off
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS text_before,
+                     first_value(CASE WHEN kind = 'text' THEN txt END IGNORE NULLS)
+                       OVER (PARTITION BY doc_id ORDER BY off
+                             ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                       AS text_after
+              FROM u)
+            SELECT doc_id, mref AS src, txt AS alt, off::INT AS offset,
+                   text_before, text_after
+            FROM w WHERE kind = 'image'
         """,
         "interleave_profile": """
             WITH sp AS (

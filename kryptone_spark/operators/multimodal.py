@@ -193,3 +193,49 @@ def media_dedup(media: DataFrame, data_col: str = "data") -> DataFrame:
         )
         .where(F.col("group_size") > 1)
     )
+
+
+def image_context_pairs(docs: DataFrame, spans_col: str = "spans") -> DataFrame:
+    """Image-text pair mining over interleaved spans (the OBELICS /
+    caption-mining primitive): for every image span, the nearest
+    preceding and nearest following TEXT span in document order —
+    (doc_id, src, alt, offset, text_before, text_after). Boundary
+    images (no text on a side) carry NULL on that side.
+
+    Shuffle-free by construction: a doc's spans are already colocated
+    in its row (the input_hint shape), so the neighbor search is an
+    array fold in one projection — no explode-then-window, no exchange
+    of the 100 TB span volume. Requires the spans array ordered by
+    offset (the corpus contract — `extract.span_audit` flags
+    violations): "nearest" is taken as the last/first element of the
+    offset-filtered slices."""
+    from pyspark.sql import functions as F
+
+    sp = F.col(spans_col)
+
+    def ctx(img):
+        before = F.filter(
+            sp,
+            lambda t: (t["kind"] == "text") & (t["offset"] < img["offset"]),
+        )
+        after = F.filter(
+            sp,
+            lambda t: (t["kind"] == "text") & (t["offset"] > img["offset"]),
+        )
+        # F.get is null out-of-bounds (ANSI-safe): size 0 → index -1 →
+        # NULL text_before; empty `after` → NULL text_after
+        return F.struct(
+            img["media_ref"].alias("src"),
+            img["text"].alias("alt"),
+            img["offset"].alias("offset"),
+            F.get(before, F.size(before) - 1)["text"].alias("text_before"),
+            F.get(after, F.lit(0))["text"].alias("text_after"),
+        )
+
+    imgs = F.filter(sp, lambda s: s["kind"] == "image")
+    return docs.select(
+        "doc_id", F.explode(F.transform(imgs, ctx)).alias("__p")
+    ).select(
+        "doc_id", "__p.src", "__p.alt", "__p.offset",
+        "__p.text_before", "__p.text_after",
+    )

@@ -692,3 +692,35 @@ def test_pagerank_vs_python(spark):
     assert rows == {n: -rank[n] for n in nodes}
     # highest-rank page schedules first under (priority, url) ordering
     assert min(rows, key=lambda u: (rows[u], u)) == max(rank, key=lambda u: (rank[u], u))
+
+
+def test_image_context_pairs_boundaries(spark):
+    """Nearest-text pairing: leading/trailing images get NULL on the
+    open side, consecutive images share neighbors, text-free docs pair
+    all-NULL, image-free docs emit nothing."""
+    def sp(kind, text, ref, off):
+        return {"kind": kind, "text": text, "media_ref": ref, "offset": off}
+
+    rows = [
+        ("d1", [sp("image", "a1", "i1", 0), sp("text", "t1", "", 1),
+                sp("image", "a2", "i2", 2), sp("image", "a3", "i3", 3),
+                sp("text", "t2", "", 4), sp("image", "a4", "i4", 5)]),
+        ("d2", [sp("image", "", "j1", 0), sp("link", "x", "u", 1)]),
+        ("d3", [sp("text", "only", "", 0)]),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    got = {
+        (r["doc_id"], r["src"]): (r["text_before"], r["text_after"])
+        for r in multimodal.image_context_pairs(df).collect()
+    }
+    assert got == {
+        ("d1", "i1"): (None, "t1"),
+        ("d1", "i2"): ("t1", "t2"),
+        ("d1", "i3"): ("t1", "t2"),
+        ("d1", "i4"): ("t2", None),
+        ("d2", "j1"): (None, None),
+    }
