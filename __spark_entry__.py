@@ -808,6 +808,37 @@ def _variable_interleaved_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(ds.alias("doc_id"), F.filter(all_spans, keep).alias("spans"))
 
 
+def q_anchor_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text profile per destination (extract.anchor_profile):
+    a 3-links-per-doc synthesis (shared 'home'/'read more' anchors +
+    a per-doc text prefix) gives real collisions, ties, and anchor
+    diversity; the oracle re-derives the top anchor with a
+    row_number window — independent of the engine's arg-min fold."""
+    from kryptone_spark.operators import extract
+
+    docs = _load(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("long")
+    ds = F.col("doc_id").cast("string")
+    mk = lambda j, anchor: F.struct(
+        F.concat(
+            F.lit("https://docs.test/doc-"),
+            ((did * 3 + j * 17) % 500).cast("string"),
+        ).alias("url"),
+        anchor.alias("anchor"),
+    )
+    links = docs.select(
+        F.concat(F.lit("doc-"), ds).alias("src_url"),
+        F.explode(
+            F.array(
+                mk(0, F.lit("home")),
+                mk(1, F.substring("text", 1, 6)),
+                mk(2, F.lit("read more")),
+            )
+        ).alias("l"),
+    ).select("src_url", "l.url", "l.anchor")
+    return extract.anchor_profile(links)
+
+
 def q_image_text_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image-text pair mining (operators/multimodal.py:
     image_context_pairs): nearest preceding/following text span per
@@ -1685,6 +1716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spans_audit": q_spans_audit,
         "interleave_profile": q_interleave_profile,
         "image_text_pairs": q_image_text_pairs,
+        "anchor_profile": q_anchor_profile,
         "robots_rep": q_robots_rep,
         "redirect_resolve": q_redirect_resolve,
         "recrawl_schedule": q_recrawl_schedule,
@@ -2556,6 +2588,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT v.k, v.url, v.robots_blocked,
                    coalesce(d.delay, 25.0)::DOUBLE AS crawl_delay
             FROM v LEFT JOIN rep_delays d ON v.domain = d.domain
+        """,
+        "anchor_profile": """
+            WITH l AS (
+              SELECT 'doc-' || doc_id AS src,
+                     'https://docs.test/doc-' || ((doc_id * 3) % 500) AS url,
+                     'home' AS anchor
+              FROM documents
+              UNION ALL
+              SELECT 'doc-' || doc_id,
+                     'https://docs.test/doc-' || ((doc_id * 3 + 17) % 500),
+                     substr(text, 1, 6)
+              FROM documents
+              UNION ALL
+              SELECT 'doc-' || doc_id,
+                     'https://docs.test/doc-' || ((doc_id * 3 + 34) % 500),
+                     'read more'
+              FROM documents),
+            pa AS (SELECT url, anchor, count(*) AS cnt FROM l GROUP BY url, anchor),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY url ORDER BY cnt DESC, anchor) AS rn
+              FROM pa),
+            agg AS (
+              SELECT url, sum(cnt)::BIGINT AS n_inlinks,
+                     count(*)::BIGINT AS n_distinct_anchors
+              FROM pa GROUP BY url),
+            srcs AS (
+              SELECT url, count(DISTINCT src)::BIGINT AS n_src_pages
+              FROM l GROUP BY url)
+            SELECT agg.url, n_inlinks, n_src_pages, n_distinct_anchors,
+                   r.anchor AS top_anchor, r.cnt::BIGINT AS top_anchor_count
+            FROM agg
+            JOIN ranked r ON agg.url = r.url AND r.rn = 1
+            JOIN srcs ON agg.url = srcs.url
         """,
         "image_text_pairs": """
             WITH sp AS (

@@ -218,3 +218,36 @@ def interleave_profile(documents: DataFrame, spans_col: str = "spans") -> DataFr
         ((n > 0) & (F.element_at(s, -1)["kind"] == "image")).alias("ends_with_media"),
         max_text_run.alias("max_text_run"),
     )
+
+
+def anchor_profile(links: DataFrame) -> DataFrame:
+    """Per-destination anchor-text profile — the classic IR/crawl
+    signal (anchor text describes the TARGET page better than the page
+    itself; reference pages carry it as the link span's text,
+    base.py:473-503 harvests only the href). Input: (src_url, url,
+    anchor). Output per url: n_inlinks, n_src_pages (distinct linking
+    pages), n_distinct_anchors, top_anchor (+count) — most frequent,
+    ties broken lexicographically.
+
+    Scale shape: word-count style two-level aggregate — the
+    (url, anchor) partial collapses the raw link volume map-side, the
+    url-level rollup sees |distinct pairs| rows; top-anchor selection
+    is an arg-min over struct((-count), anchor), no window. The
+    distinct-src count is its own partial-agg pass; both url-keyed
+    sides meet in one co-partitioned join."""
+    per_anchor = links.groupBy("url", "anchor").agg(F.count("*").alias("__cnt"))
+    top = per_anchor.groupBy("url").agg(
+        F.sum("__cnt").alias("n_inlinks"),
+        F.count("*").alias("n_distinct_anchors"),
+        F.min(
+            F.struct((-F.col("__cnt")).alias("neg"), F.col("anchor"))
+        ).alias("__t"),
+    )
+    srcs = links.groupBy("url").agg(
+        F.countDistinct("src_url").alias("n_src_pages")
+    )
+    return top.join(srcs, "url").select(
+        "url", "n_inlinks", "n_src_pages", "n_distinct_anchors",
+        F.col("__t.anchor").alias("top_anchor"),
+        (-F.col("__t.neg")).alias("top_anchor_count"),
+    )

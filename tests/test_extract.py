@@ -326,3 +326,34 @@ def test_interleave_profile(spark):
     assert "Exchange" not in plan_of(
         extract.interleave_profile(spark.createDataFrame(rows, schema))
     )
+
+
+def test_anchor_profile_top_anchor_ties(spark):
+    """Most-frequent anchor wins; count ties break lexicographically;
+    src multiplicity vs distinct pages counted separately."""
+    from kryptone_spark.operators.extract import anchor_profile
+
+    rows = [
+        ("p1", "t", "nav"), ("p1", "t", "nav"),
+        ("p2", "t", "buy"), ("p2", "t", "buy"),
+        ("p3", "t", "buy"),
+        ("p1", "t", "apple"), ("p1", "t", "zebra"),
+        ("p4", "t", "apple"),                        # apple=2 < buy=3
+    ]
+    links = spark.createDataFrame(
+        [(s, "http://x/t", a) for s, _, a in rows],
+        "src_url string, url string, anchor string",
+    )
+    r = anchor_profile(links).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert (row["n_inlinks"], row["n_src_pages"], row["n_distinct_anchors"]) == (8, 4, 4)
+    assert (row["top_anchor"], row["top_anchor_count"]) == ("buy", 3)
+
+    # exact count tie: lexicographic winner
+    tied = spark.createDataFrame(
+        [("a", "u", "zeta"), ("b", "u", "zeta"), ("c", "u", "alpha"), ("d", "u", "alpha")],
+        "src_url string, url string, anchor string",
+    )
+    t = anchor_profile(tied).collect()[0]
+    assert (t["top_anchor"], t["top_anchor_count"]) == ("alpha", 2)
