@@ -163,8 +163,11 @@ def _admit_exprs(config: CrawlConfig, refresh: bool) -> dict[str, Column]:
     if config.ignore_queries:
         # the reference's dead `ignore_queries` Meta option, enforced:
         # drop '?...'-up-to-'#' so the fragment (and P6's reject
-        # semantics on it) survives. One regex, codegen-friendly.
-        resolve = F.regexp_replace(resolve, r"\?[^#]*", "")
+        # semantics on it) survives. Anchored to the pre-fragment part
+        # — an unanchored \?[^#]* would also strip '?' sequences INSIDE
+        # the fragment ('/p#f?g' must stay intact). One regex,
+        # codegen-friendly.
+        resolve = F.regexp_replace(resolve, r"^([^#?]*)\?[^#]*", "$1")
     if config.canonicalize == "full":
         resolve = U.canonicalize_full(resolve, config.tracking_params)
     exprs = {

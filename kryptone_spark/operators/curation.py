@@ -138,10 +138,16 @@ def temperature_mix(
         .cast("int")
         .alias("__thresh"),
     )
+    # null-safe join: a NULL source is its own stratum (groupBy put it
+    # in `fracs`), but an equi-join key would silently drop those rows
+    # — breaking the T=1-is-a-no-op contract
+    fr = fracs.withColumnRenamed(source_col, "__src")
     return (
-        df.join(F.broadcast(fracs), source_col)
+        df.join(
+            F.broadcast(fr), F.col(source_col).eqNullSafe(F.col("__src"))
+        )
         .where(portable_bucket(F.col(key_col), salt) < F.col("__thresh"))
-        .drop("__thresh")
+        .drop("__thresh", "__src")
     )
 
 

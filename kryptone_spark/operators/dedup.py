@@ -253,12 +253,23 @@ def lsh_pairs_vs_index(
     shuffle). ``max_bucket_size`` counts over the pruned-union rows,
     which equals the full-union count for every bucket that can emit an
     incremental pair — cap semantics match the batch variant."""
-    idx = spark.read.parquet(path).select(
-        "doc_id", "band", "bucket", F.lit(False).alias("is_new")
-    )
     banded_new = banded_rows(
         minhash_signatures(new_docs, text_col, k), k, bands
     ).withColumn("is_new", F.lit(True))
+    # exclude index copies of the batch's own doc_ids: after a crash
+    # between append and probe (or a deliberate re-probe of an already
+    # ingested batch) the same rows exist on both sides — without this
+    # anti-join every pair double-counts its shared bands and every
+    # bucket size doubles, spuriously tripping max_bucket_size
+    idx = (
+        spark.read.parquet(path)
+        .join(
+            F.broadcast(new_docs.select("doc_id").distinct()),
+            "doc_id",
+            "left_anti",
+        )
+        .select("doc_id", "band", "bucket", F.lit(False).alias("is_new"))
+    )
     probe = F.broadcast(banded_new.select("band", "bucket").distinct())
     rows = idx.join(probe, ["band", "bucket"], "left_semi").unionByName(
         banded_new

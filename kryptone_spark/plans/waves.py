@@ -150,6 +150,11 @@ class WaveRunner:
         # previous wave's per-domain failure counts → crawl_delay
         # multiplier for the next schedule (config.failure_backoff)
         self._domain_backoff: DataFrame | None = None
+        # True once any page has actually been fetched — the oracle's
+        # pages_processed > 0 home gate (base.py:706-717): the home
+        # page is admissible only from the FIRST successfully processed
+        # page, which with fetch failures is not necessarily in wave 0
+        self._any_fetched = False
         # cumulative in-memory state (lineage-cut per wave)
         self._state: dict[str, DataFrame | None] = {
             "seen": None, "visited": None, "frontier": None,
@@ -354,7 +359,9 @@ class WaveRunner:
             F.count("*").alias("n"),
             F.sum(ok_expr.cast("long")).alias("n_ok"),
             F.max(F.col("rank_in_domain") * F.col("crawl_delay")).alias("dur"),
-            F.min("url").alias("first_url"),
+            # min over SUCCESSFUL rows: a failed fetch processes no
+            # links, so it can never be the home-rule anchor page
+            F.min(F.when(ok_expr, F.col("url"))).alias("first_ok_url"),
         ).collect()[0]
         scheduled = stats["n"]
         fetched = int(stats["n_ok"] or 0)
@@ -467,10 +474,15 @@ class WaveRunner:
 
         # home page admissible only from the first-ever processed page
         # (iteration_count semantics, base.py:706-717); the politeness
-        # window orders by url, so rank_in_wave 0 == min(url).
+        # window orders by url, so the anchor is the wave's minimum
+        # SUCCESSFUL url — and with fetch failures the first processed
+        # page may land in a later wave (an all-failed wave 0 processes
+        # nothing, oracle pages_processed stays 0).
         allow_home: bool | str = False
-        if wave == 0:
-            allow_home = stats["first_url"] or False
+        if not self._any_fetched:
+            allow_home = stats["first_ok_url"] or False
+        if fetched > 0:
+            self._any_fetched = True
 
         seen = self._state["seen"]
         seen_urls = seen.select("url") if seen is not None else None
@@ -713,49 +725,50 @@ class WaveRunner:
             self.io.drop_waves_after(t, next_wave - 1)
         if next_wave == 0:
             return self.run(max_waves=max_waves)
-        # reload committed state into memory
+        # read each committed table ONCE (re-reading re-globs hundreds
+        # of wave dirs and rebuilds the union plan per consumer)
         for t in ("seen", "frontier", "visited", "robots_blocked", "fetch_failed"):
             df = self.io.read(t)
             if df is not None:
                 self._state[t] = df.drop("wave").localCheckpoint(eager=False)
+        fb = self.io.read("fetch_batches")
+        ff = self.io.read("fetch_failed")
         # rebuild the per-domain quota counters from committed batches
-        if self.config.max_pages_per_domain is not None:
-            fbq = self.io.read("fetch_batches")
-            if fbq is not None:
-                self._fetched_counts = (
-                    fbq.groupBy("domain")
-                    .agg(F.count("*").alias("n_fetched"))
-                    .localCheckpoint(eager=False)
-                )
+        if self.config.max_pages_per_domain is not None and fb is not None:
+            self._fetched_counts = (
+                fb.groupBy("domain")
+                .agg(F.count("*").alias("n_fetched"))
+                .localCheckpoint(eager=False)
+            )
         # rebuild the error-backoff dim from the LAST committed wave's
         # failures (the only wave whose counts affect the next schedule)
         if (
             self.config.failure_backoff is not None
             and self.fetch_failures is not None
+            and ff is not None
         ):
-            ff_all = self.io.read("fetch_failed")
-            if ff_all is not None:
-                last = ff_all.where(F.col("wave") == next_wave - 1)
-                self._domain_backoff = (
-                    last.groupBy("domain")
-                    .agg(
-                        F.pow(
-                            F.lit(float(self.config.failure_backoff)),
-                            F.least(F.count("*"), F.lit(6)).cast("double"),
-                        ).alias("backoff_mult")
-                    )
-                    .localCheckpoint(eager=False)
+            self._domain_backoff = (
+                ff.where(F.col("wave") == next_wave - 1)
+                .groupBy("domain")
+                .agg(
+                    F.pow(
+                        F.lit(float(self.config.failure_backoff)),
+                        F.least(F.count("*"), F.lit(6)).cast("double"),
+                    ).alias("backoff_mult")
                 )
+                .localCheckpoint(eager=False)
+            )
         # rebuild the virtual clock offset from committed batches —
         # failed attempts consumed politeness slots too, so the max
-        # spans fetch_batches AND fetch_failed
-        fb = self.io.read("fetch_batches")
-        ff = self.io.read("fetch_failed")
+        # spans fetch_batches AND fetch_failed; the same agg learns
+        # whether any page was ever SUCCESSFULLY fetched (the home-rule
+        # pages_processed gate survives resume)
         ends = [
             df.select(
-                (F.col("fetch_at").cast("double") + F.col("crawl_delay")).alias("end")
+                (F.col("fetch_at").cast("double") + F.col("crawl_delay")).alias("end"),
+                F.lit(is_fetch).alias("is_fetch"),
             )
-            for df in (fb, ff)
+            for df, is_fetch in ((fb, 1), (ff, 0))
             if df is not None
         ]
         if ends:
@@ -765,7 +778,11 @@ class WaveRunner:
             allends = ends[0]
             for e in ends[1:]:
                 allends = allends.unionByName(e)
-            row = allends.agg(F.max("end")).collect()[0][0]
-            if row is not None:
-                self._offset = max(0.0, row - schedule.EPOCH.timestamp())
+            row = allends.agg(
+                F.max("end").alias("end"), F.max("is_fetch").alias("anyf")
+            ).collect()[0]
+            if row["end"] is not None:
+                self._offset = max(0.0, row["end"] - schedule.EPOCH.timestamp())
+            if row["anyf"] == 1:
+                self._any_fetched = True
         return self.run(max_waves=max_waves, start_wave=next_wave)

@@ -226,6 +226,16 @@ def test_ignore_queries_strips_query_keeps_fragment_semantics(spark):
     assert rows["http://example.com/q?x=1#frag"]["url"] == "http://example.com/q#frag"
     assert rows["http://example.com/q?x=1#frag"]["reject_reason"] == "fragment"
     assert rows["http://example.com/r#frag"]["reject_reason"] == "fragment"
+    # '?' INSIDE the fragment is fragment content, not a query — the
+    # strip must not touch it
+    frag_q = spark.createDataFrame(
+        [("http://example.com/p?a=1#f?g",), ("http://example.com/p#sec?part",)],
+        "url string",
+    )
+    out_fq = {r["url_raw"]: r["url"] for r in admission.admit(
+        frag_q, config, allow_home=False).collect()}
+    assert out_fq["http://example.com/p?a=1#f?g"] == "http://example.com/p#f?g"
+    assert out_fq["http://example.com/p#sec?part"] == "http://example.com/p#sec?part"
     # default config leaves queries alone
     out_p = admission.admit(
         df, CrawlConfig(start_urls=["http://example.com/"]), allow_home=False

@@ -437,6 +437,37 @@ def test_fetch_failures_retry_budget(spark, site, tmp_path):
     assert_parity(io_r, state)
 
 
+def test_home_anchor_skips_failed_first_fetch(spark, tmp_path):
+    """The home-rule anchor is the first SUCCESSFULLY processed page
+    (oracle pages_processed semantics): when the wave-0 lexicographic
+    minimum fails to fetch, the next success carries the allow-home
+    gate — its '/' link must reject as 'seen', never 'home'."""
+    mk = lambda kind, text, ref, off: {
+        "kind": kind, "text": text, "media_ref": ref, "offset": off}
+    site2 = [
+        {"doc_id": "http://s.test/", "spans": [mk("text", "home", "", 0)]},
+        {"doc_id": "http://s.test/a", "spans": [
+            mk("link", "home", "/", 0), mk("link", "b", "/b", 1)]},
+        {"doc_id": "http://s.test/b", "spans": [mk("text", "b", "", 0)]},
+    ]
+    config = CrawlConfig(start_urls=["http://s.test/", "http://s.test/a"])
+    failing = {"http://s.test/": 1}
+    state = oracle.crawl(site2, config, failures=failing)
+    assert state.visited == {"http://s.test/a", "http://s.test/b"}
+
+    io = TableIO(spark, str(tmp_path / "ha"))
+    fdim = spark.createDataFrame(
+        list(failing.items()), "url string, n_failures int"
+    )
+    WaveRunner(
+        spark, config, site_df(spark, site2), io, fetch_failures=fdim
+    ).run()
+    assert_parity(io, state)
+    fc = [r["filter_cardinality"] for r in io.read("lineage").collect()]
+    assert sum(m["home"] for m in fc) == 0       # '/' never rejects as home
+    assert sum(m["seen"] for m in fc) >= 1       # ...it rejects as seen
+
+
 def test_failure_backoff_stretches_schedule(spark, site, tmp_path):
     """failure_backoff=4: the wave after a domain's failure schedules
     that domain with 4x fetch_at spacing; a clean wave resets it.

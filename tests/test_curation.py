@@ -133,6 +133,13 @@ def test_temperature_mix_matches_python_oracle(spark):
 
     got1 = curation.temperature_mix(df, 1.0).count()
     assert got1 == len(rows)  # T=1 is a no-op
+
+    # NULL source is its own stratum, not silently dropped
+    with_null = spark.createDataFrame(
+        rows + [("nul0001", None), ("nul0002", None)],
+        "doc_id string, source string",
+    )
+    assert curation.temperature_mix(with_null, 1.0).count() == len(rows) + 2
     got8 = {r["doc_id"] for r in curation.temperature_mix(df, 8.0).collect()}
     assert got8 == expect(8.0)
     assert len(got8 & {d for d, _ in rows}) == len(got8)  # subset, no dup

@@ -114,6 +114,14 @@ def test_lsh_pairs_vs_index_matches_batch(corpus, spark, tmp_path):
     }
     assert got2[(0, 9)] == dedup.LSH_BANDS and got2[(4, 9)] == dedup.LSH_BANDS
 
+    # re-probing a batch that is ALREADY in the index (crash between
+    # append and probe) must not double-count shared bands
+    again = {
+        (r["doc_a"], r["doc_b"]): r["n_shared_bands"]
+        for r in dedup.lsh_pairs_vs_index(spark, path, new).collect()
+    }
+    assert again == got
+
 
 def test_lsh_pairs_vs_index_bucket_cap(corpus, spark, tmp_path):
     """max_bucket_size counts over index+batch combined: 3 dup docs in
