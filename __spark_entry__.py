@@ -1524,6 +1524,22 @@ def q_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_schedule_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness-compliance audit (schedule.schedule_audit) over a
+    drifting fetch log synthesized from events (domain = user_id % 20,
+    real event timestamps): per domain — fetch count, min inter-fetch
+    gap, undershoots of a 30 s delay, ok flag. Integer micros
+    throughout (unix_micros ↔ epoch_us)."""
+    from kryptone_spark.operators import schedule
+
+    ev = _load(spark, sf_dir, "events")
+    log = ev.select(
+        F.concat(F.lit("d"), (F.col("user_id") % 20).cast("string")).alias("domain"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("fetch_us"),
+    )
+    return schedule.schedule_audit(log, delay_us=30_000_000)
+
+
 def q_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adaptive recrawl scheduling (Cho & Garcia-Molina revisit
     policy): change-rate per URL from a fetch history synthesized from
@@ -1721,6 +1737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redirect_resolve": q_redirect_resolve,
         "recrawl_schedule": q_recrawl_schedule,
         "crawl_diff": q_crawl_diff,
+        "schedule_audit": q_schedule_audit,
         "frontier_quota": q_frontier_quota,
         "seo_audit": q_seo_audit,
         "docs_stemmed_topk": q_docs_stemmed_topk,
@@ -2485,6 +2502,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, domain, rank_in_domain
             FROM ranked
             WHERE rank_in_domain <= 8 AND rank_in_domain <= 10 - nf
+        """,
+        "schedule_audit": """
+            WITH log AS (
+              SELECT 'd' || (user_id % 20) AS domain, epoch_us(ts) AS fetch_us
+              FROM events),
+            g AS (
+              SELECT domain,
+                     fetch_us - lag(fetch_us) OVER (
+                       PARTITION BY domain ORDER BY fetch_us) AS gap_us
+              FROM log)
+            SELECT domain,
+                   count(*)::BIGINT AS n_fetches,
+                   min(gap_us)::BIGINT AS min_gap_us,
+                   coalesce(sum(CASE WHEN gap_us < 30000000 THEN 1 ELSE 0 END)
+                            FILTER (WHERE gap_us IS NOT NULL), 0)::BIGINT
+                       AS n_violations,
+                   coalesce(sum(CASE WHEN gap_us < 30000000 THEN 1 ELSE 0 END)
+                            FILTER (WHERE gap_us IS NOT NULL), 0) = 0
+                       AS politeness_ok
+            FROM g GROUP BY domain
         """,
         "crawl_diff": """
             WITH docs AS (

@@ -185,6 +185,41 @@ def politeness_schedule(
     return batch, blocked
 
 
+def schedule_audit(
+    log: DataFrame,
+    delay_us: int,
+    domain_col: str = "domain",
+    ts_col: str = "fetch_us",
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Politeness-compliance audit over a FETCH LOG — the output-side
+    verifier of the W1 contract. The engine's own schedule is polite by
+    construction (fetch_at = start + (rank-1)·delay); a real fetcher
+    drifts (retries, clock skew, worker hiccups), so production audits
+    the log: per (group..., domain) — n_fetches, the minimum
+    inter-fetch gap, how many gaps undershot the delay, and an ok flag.
+
+    Everything stays integer microseconds (``ts_col`` is int64 micros —
+    `unix_micros(ts)` upstream): no float epoch drift, exact oracle
+    parity. One partitioned lag window (never global) + one partial-agg
+    rollup; at scale the window partitions by domain exactly like the
+    scheduler's own rank."""
+    w = Window.partitionBy(*group_cols, domain_col).orderBy(ts_col)
+    gap = F.col(ts_col) - F.lag(ts_col).over(w)
+    per_row = log.withColumn("__gap_us", gap)
+    # coalesce: a single-fetch domain has no gaps (all-NULL sum) and
+    # audits clean, not NULL
+    viol = F.coalesce(
+        F.sum((F.col("__gap_us") < delay_us).cast("long")), F.lit(0)
+    )
+    return per_row.groupBy(*group_cols, domain_col).agg(
+        F.count("*").alias("n_fetches"),
+        F.min("__gap_us").alias("min_gap_us"),
+        viol.alias("n_violations"),
+        (viol == 0).alias("politeness_ok"),
+    )
+
+
 def wave_duration(batch: DataFrame) -> float:
     """Virtual seconds the wave occupies: max over domains of
     budget-spaced fetch ends — feeds the next wave's start offset."""

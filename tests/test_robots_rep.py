@@ -190,3 +190,22 @@ def test_rep_match_seeded_fuzz(spark):
         if bool(r.m) != ref_match(r.t, r.p)
     ]
     assert not bad, bad[:10]
+
+
+def test_schedule_audit_gaps_and_violations(spark):
+    """Audit semantics: gap undershoot counts per domain, single-fetch
+    domains audit clean (no NULL leakage), exact integer micros."""
+    from kryptone_spark.operators.schedule import schedule_audit
+
+    rows = [
+        ("a", 0), ("a", 30_000_000), ("a", 45_000_000),   # one 15s gap
+        ("b", 0), ("b", 30_000_000), ("b", 60_000_000),   # clean
+        ("c", 5),                                          # single fetch
+    ]
+    log = spark.createDataFrame(rows, "domain string, fetch_us long")
+    got = {r["domain"]: r for r in schedule_audit(log, delay_us=30_000_000).collect()}
+    assert (got["a"]["n_fetches"], got["a"]["min_gap_us"],
+            got["a"]["n_violations"], got["a"]["politeness_ok"]) == (3, 15_000_000, 1, False)
+    assert (got["b"]["n_violations"], got["b"]["politeness_ok"]) == (0, True)
+    assert (got["c"]["n_fetches"], got["c"]["min_gap_us"],
+            got["c"]["n_violations"], got["c"]["politeness_ok"]) == (1, None, 0, True)
