@@ -1524,6 +1524,41 @@ def q_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL shape-template mining (traps.url_templates): the synthesized
+    orders corpus collapses to a handful of {n}-templates with big
+    instance counts — the crawl-budget-sink view per-URL trap scores
+    can't see. Oracle restates the same RE2 replacement chain with the
+    'g' flag (DuckDB replaces first-match by default; Spark replaces
+    all)."""
+    from kryptone_spark.operators import traps
+
+    urls = _urls_from_orders(_load(spark, sf_dir, "orders"))
+    return traps.url_templates(urls)
+
+
+def q_cache_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cache-Control revalidation scheduling
+    (schedule.parse_cache_control): headers synthesized from events
+    cover max-age, no-cache, directive-less, compound, and NULL; exact
+    integer-micros next_fetch_us."""
+    from kryptone_spark.operators import schedule
+
+    ev = _load(spark, sf_dir, "events")
+    b = F.col("event_id") % 5
+    log = ev.select(
+        "event_id",
+        F.when(b == 0, F.lit("public, max-age=300"))
+        .when(b == 1, F.lit("no-cache"))
+        .when(b == 2, F.lit("public"))
+        .when(b == 3, F.lit("max-age=86400, stale-while-revalidate=60"))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("cache_control"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("fetch_us"),
+    )
+    return schedule.parse_cache_control(log)
+
+
 def q_schedule_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Politeness-compliance audit (schedule.schedule_audit) over a
     drifting fetch log synthesized from events (domain = user_id % 20,
@@ -1738,6 +1773,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recrawl_schedule": q_recrawl_schedule,
         "crawl_diff": q_crawl_diff,
         "schedule_audit": q_schedule_audit,
+        "url_templates": q_url_templates,
+        "cache_control": q_cache_control,
         "frontier_quota": q_frontier_quota,
         "seo_audit": q_seo_audit,
         "docs_stemmed_topk": q_docs_stemmed_topk,
@@ -2502,6 +2539,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, domain, rank_in_domain
             FROM ranked
             WHERE rank_in_domain <= 8 AND rank_in_domain <= 10 - nf
+        """,
+        "url_templates": f"""
+            WITH {URLS_CTE.strip()},
+            t AS (
+              SELECT url,
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(url,
+                           '[0-9a-fA-F]{{8}}-[0-9a-fA-F]{{4}}-[0-9a-fA-F]{{4}}-[0-9a-fA-F]{{4}}-[0-9a-fA-F]{{12}}',
+                           '{{uuid}}', 'g'),
+                         '[0-9a-f]{{16,}}', '{{hex}}', 'g'),
+                       '[0-9]+', '{{n}}', 'g') AS template
+              FROM urls)
+            SELECT template, count(*)::BIGINT AS n_urls, min(url) AS example_url
+            FROM t GROUP BY template
+        """,
+        "cache_control": """
+            WITH log AS (
+              SELECT event_id,
+                     CASE event_id % 5
+                       WHEN 0 THEN 'public, max-age=300'
+                       WHEN 1 THEN 'no-cache'
+                       WHEN 2 THEN 'public'
+                       WHEN 3 THEN 'max-age=86400, stale-while-revalidate=60'
+                       ELSE NULL END AS cache_control,
+                     epoch_us(ts) AS fetch_us
+              FROM events),
+            p AS (
+              SELECT *,
+                     TRY_CAST(regexp_extract(
+                       lower(coalesce(cache_control, '')),
+                       'max-age=([0-9]+)', 1) AS BIGINT) AS max_age_s,
+                     (lower(coalesce(cache_control, '')) LIKE '%no-store%'
+                      OR lower(coalesce(cache_control, '')) LIKE '%no-cache%')
+                         AS no_store
+              FROM log)
+            SELECT event_id, cache_control, fetch_us, max_age_s, no_store,
+                   (fetch_us + (CASE WHEN no_store THEN 0
+                                     ELSE coalesce(max_age_s, 3600) END)
+                              * 1000000)::BIGINT AS next_fetch_us
+            FROM p
         """,
         "schedule_audit": """
             WITH log AS (

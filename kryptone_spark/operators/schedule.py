@@ -229,6 +229,40 @@ def wave_duration(batch: DataFrame) -> float:
     return float(row["d"] or 0.0)
 
 
+def parse_cache_control(
+    df: DataFrame,
+    header_col: str = "cache_control",
+    fetch_us_col: str = "fetch_us",
+    default_ttl_s: int = 3600,
+) -> DataFrame:
+    """HTTP revalidation scheduling from Cache-Control response headers
+    — the standards-based companion to the adaptive `recrawl_schedule`
+    (which infers intervals from observed change rates; this one obeys
+    what the server declared). Adds:
+
+    - ``max_age_s``: the max-age directive (NULL when absent)
+    - ``no_store``: no-store/no-cache present (revalidate immediately)
+    - ``next_fetch_us``: fetch time + effective TTL in exact integer
+      micros — 0-TTL for no_store, declared max-age, else the default.
+
+    One projection (regexp_extract + try_cast + boolean contains) —
+    parsing 10^9 headers is a scan; all patterns RE2-safe for the
+    oracle."""
+    h = F.lower(F.coalesce(F.col(header_col), F.lit("")))
+    max_age = F.regexp_extract(h, r"max-age=([0-9]+)", 1).try_cast("long")
+    no_store = h.contains("no-store") | h.contains("no-cache")
+    ttl_s = F.when(no_store, F.lit(0)).otherwise(
+        F.coalesce(max_age, F.lit(default_ttl_s))
+    )
+    return df.withColumns(
+        {
+            "max_age_s": max_age,
+            "no_store": no_store,
+            "next_fetch_us": F.col(fetch_us_col) + ttl_s * F.lit(1_000_000),
+        }
+    )
+
+
 def parse_robots_txt(
     df: DataFrame,
     domain_col: str = "domain",

@@ -136,3 +136,33 @@ def trap_filter(
     return scored.where(F.col("trap_score") < F.lit(int(threshold))).select(
         *df.columns
     )
+
+
+def url_templates(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Mine URL *shape* templates: UUIDs → {uuid}, long hex runs →
+    {hex}, digit runs → {n}, then group. The inverse view of
+    trap_signals: a template with a huge instance count and few
+    distinct shapes is a minted URL space (calendar pages, session
+    permalinks, faceted search) — the classic crawl-budget sink that
+    per-URL scoring can't see because every INSTANCE looks harmless.
+
+    Pure projection + one partial-agg groupBy on the template string;
+    replacement order matters (uuid before hex before digits — a uuid
+    contains hex runs, a hex run contains digits) and every pattern is
+    RE2-safe so the oracle restates it verbatim."""
+    u = F.col(url_col)
+    t = F.regexp_replace(
+        u,
+        r"[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}",
+        "{uuid}",
+    )
+    t = F.regexp_replace(t, r"[0-9a-f]{16,}", "{hex}")
+    t = F.regexp_replace(t, r"[0-9]+", "{n}")
+    return (
+        df.select(t.alias("template"), u.alias("__u"))
+        .groupBy("template")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.min("__u").alias("example_url"),
+        )
+    )

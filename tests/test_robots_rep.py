@@ -209,3 +209,22 @@ def test_schedule_audit_gaps_and_violations(spark):
     assert (got["b"]["n_violations"], got["b"]["politeness_ok"]) == (0, True)
     assert (got["c"]["n_fetches"], got["c"]["min_gap_us"],
             got["c"]["n_violations"], got["c"]["politeness_ok"]) == (1, None, 0, True)
+
+
+def test_parse_cache_control_directives(spark):
+    """no-store beats max-age; absent header takes the default TTL;
+    exact integer micros."""
+    from kryptone_spark.operators.schedule import parse_cache_control
+
+    rows = [
+        (1, "max-age=60, public", 1_000_000),
+        (2, "no-store, max-age=60", 1_000_000),
+        (3, None, 1_000_000),
+        (4, "Max-Age=120", 0),
+    ]
+    df = spark.createDataFrame(rows, "id long, cache_control string, fetch_us long")
+    got = {r["id"]: r for r in parse_cache_control(df, default_ttl_s=10).collect()}
+    assert (got[1]["max_age_s"], got[1]["no_store"], got[1]["next_fetch_us"]) == (60, False, 61_000_000)
+    assert (got[2]["no_store"], got[2]["next_fetch_us"]) == (True, 1_000_000)
+    assert (got[3]["max_age_s"], got[3]["next_fetch_us"]) == (None, 11_000_000)
+    assert got[4]["next_fetch_us"] == 120_000_000  # case-insensitive

@@ -165,3 +165,24 @@ def test_wave_loop_trap_gate(spark, tmp_path):
     fetched_off, seen_off = _crawl(spark, docs, tmp_path / "off")
     assert TRAP_SITE_URLS <= seen_off
     assert TRAP_SITE_URLS <= fetched_off
+
+
+def test_url_templates_replacement_order(spark):
+    """uuid before hex before digits: a uuid must not shred into
+    {hex}/{n} fragments; shared shapes group."""
+    from kryptone_spark.operators.traps import url_templates
+
+    rows = [
+        ("http://s.test/item/123",),
+        ("http://s.test/item/456",),
+        ("http://s.test/doc/deadbeefdeadbeefcafe",),
+        ("http://s.test/u/01234567-89ab-cdef-0123-456789abcdef",),
+        ("http://s.test/plain",),
+    ]
+    df = spark.createDataFrame(rows, "url string")
+    got = {r["template"]: (r["n_urls"], r["example_url"])
+           for r in url_templates(df).collect()}
+    assert got["http://s.test/item/{n}"] == (2, "http://s.test/item/123")
+    assert got["http://s.test/doc/{hex}"][0] == 1
+    assert got["http://s.test/u/{uuid}"][0] == 1
+    assert got["http://s.test/plain"][0] == 1
