@@ -2682,7 +2682,13 @@ def oracle_sql() -> dict[str, str]:
               SELECT k, url,
                      CASE WHEN k % 10 = 3 THEN 'offsite.example'
                           ELSE 'site' || dn || '.test' END AS domain,
-                     regexp_extract(url, '^[a-z]+://[^/?#]*([^#]*)', 1) AS target
+                     -- RFC 3986 §6.2.3: absent path ≡ '/' (mirrors
+                     -- rep_target; corpus URLs always carry a path, so
+                     -- this is defensive parity)
+                     CASE WHEN regexp_extract(url, '^[a-z]+://[^/?#]*([^#]*)', 1) LIKE '/%'
+                          THEN regexp_extract(url, '^[a-z]+://[^/?#]*([^#]*)', 1)
+                          ELSE '/' || regexp_extract(url, '^[a-z]+://[^/?#]*([^#]*)', 1)
+                     END AS target
               FROM urls),
             m AS (
               SELECT t.k, t.url, t.domain, r.allow, r.pattern

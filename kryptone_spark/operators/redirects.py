@@ -42,10 +42,18 @@ def resolve_redirects(
     walk still sits on a redirecting URL after ``max_hops`` (a cycle
     or an over-long chain — the caller quarantines those, it never
     makes sense to fetch them).
+
+    Duplicate (src, dst) observations are deduped here; a src with two
+    DIFFERENT dsts (a redirect that changed between fetches) still
+    forks the walk — that's contradictory input the caller resolves by
+    recency before calling (the edge schema carries no timestamp).
     """
+    # distinct FIRST: a crawl log observes the same redirect once per
+    # fetch, and duplicate (src,dst) rows would multiply every joined
+    # row — a t-times-observed h-hop chain emits t^h copies otherwise
     edges = redirects.select(
         F.col("src_url").alias("__src"), F.col("dst_url").alias("__dst")
-    )
+    ).distinct()
     out = df.withColumn("final_url", F.col(url_col)).withColumn(
         "n_hops", F.lit(0)
     )

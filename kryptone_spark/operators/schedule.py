@@ -325,7 +325,13 @@ def rep_target(url: Column) -> Column:
     of the URI). Extracted with the same appendix-B split the URL
     parser uses; ';params' stay in (REP has no params concept)."""
     cleaned = F.translate(url, "\t\r\n", "")
-    return F.regexp_extract(cleaned, r"(?s)^(?:[a-zA-Z][a-zA-Z0-9+.\-]*:)?(?://[^/?#]*)?([^#]*)", 1)
+    raw = F.regexp_extract(
+        cleaned, r"(?s)^(?:[a-zA-Z][a-zA-Z0-9+.\-]*:)?(?://[^/?#]*)?([^#]*)", 1
+    )
+    # RFC 3986 §6.2.3 / RFC 9309: an absent path is equivalent to '/',
+    # else 'Disallow: /' fails to block 'http://a.test' (empty target)
+    # and 'http://a.test?q=1' (target '?q=1')
+    return F.when(raw.startswith("/"), raw).otherwise(F.concat(F.lit("/"), raw))
 
 
 def rep_match(target: Column, pattern: Column) -> Column:

@@ -123,10 +123,20 @@ def build_bloom_sidecar(
     min_bits: int = 1 << 12,
 ) -> list[dict]:
     """Small-scale (broadcast-path) sidecar: the bloom rows collected
-    to a list. Use build_bloom_sidecar_table past
-    BLOOM_BROADCAST_MAX_BYTES."""
+    to a list. The BLOOM_BROADCAST_MAX_BYTES ceiling is ENFORCED here —
+    a controlled error beats the driver OOM it would otherwise become;
+    past it, use build_bloom_sidecar_table (bloom_mode='table')."""
     rows = _sidecar_df(seen, config, bits_per_key, k, min_bits).collect()
-    return [r.asDict() for r in rows]
+    out = [r.asDict() for r in rows]
+    nbytes = sidecar_bytes(out)
+    if nbytes > BLOOM_BROADCAST_MAX_BYTES:
+        raise ValueError(
+            f"bloom sidecar is {nbytes >> 20} MiB of filter bits — past the "
+            f"{BLOOM_BROADCAST_MAX_BYTES >> 20} MiB broadcast ceiling; use "
+            "bloom_mode='table' (build_bloom_sidecar_table) so the bits "
+            "never touch the driver"
+        )
+    return out
 
 
 def build_bloom_sidecar_table(
@@ -156,8 +166,15 @@ def merge_sidecars(a, b):
     union (table path) — no same-size bit-OR needed, each delta keeps a
     bloom sized to its own row count. Compact periodically with
     compact_sidecars / compact_sidecar_table."""
-    if isinstance(a, DataFrame) or isinstance(b, DataFrame):
+    if isinstance(a, DataFrame) and isinstance(b, DataFrame):
         return a.unionByName(b)
+    if isinstance(a, DataFrame) or isinstance(b, DataFrame):
+        raise TypeError(
+            "merge_sidecars needs two sidecars of the SAME path — both "
+            "lists (broadcast mode) or both DataFrames (table mode); "
+            f"got {type(a).__name__} + {type(b).__name__}. A crawl "
+            "cannot switch bloom_mode mid-flight without rebuilding."
+        )
     return list(a) + list(b)
 
 

@@ -33,6 +33,14 @@ class TableIO:
         self.spark = spark
         self.root = pathlib.Path(root)
         self.root.mkdir(parents=True, exist_ok=True)
+        # folded-wave memo per table: write_wave consults folded_waves
+        # on EVERY commit, and re-running _recover + manifest glob +
+        # JSON parse per write makes the hot flush path pay
+        # O(generations) filesystem work per wave. Only compaction and
+        # rollback change the folded set — they invalidate. (A TableIO
+        # instance assumes single-writer ownership of its root, which
+        # the wave loop guarantees.)
+        self._folded_cache: dict[str, set[int]] = {}
 
     def _dir(self, name: str) -> pathlib.Path:
         return self.root / name
@@ -132,11 +140,15 @@ class TableIO:
         return list(reversed(owned_desc))
 
     def folded_waves(self, name: str) -> list[int]:
-        """Waves whose rows live in the compacted snapshot."""
-        waves: set[int] = set()
-        for _, _, w in self._gens(name):
-            waves |= set(w)
-        return sorted(waves)
+        """Waves whose rows live in the compacted snapshot (memoized —
+        see __init__; compact/drop_waves_after invalidate)."""
+        cached = self._folded_cache.get(name)
+        if cached is None:
+            cached = set()
+            for _, _, w in self._gens(name):
+                cached |= set(w)
+            self._folded_cache[name] = cached
+        return sorted(cached)
 
     def _wave_dirs(self, name: str) -> list[pathlib.Path]:
         folded = set(self.folded_waves(name))
@@ -216,6 +228,7 @@ class TableIO:
         rewritten once, ever). ``full=True`` also merges the existing
         generations into the new one (the rare tiering step). Returns
         the number of wave dirs folded."""
+        self._folded_cache.pop(name, None)
         base = self._dir(name)
         tmp = base / "gen.tmp"
         if tmp.exists():
@@ -273,6 +286,7 @@ class TableIO:
             shutil.rmtree(p)
         for p in live:
             shutil.rmtree(p)
+        self._folded_cache.pop(name, None)
         return len(live)
 
     def drop_waves_after(self, name: str, wave: int) -> None:
@@ -280,6 +294,7 @@ class TableIO:
         reaching past the cut are dropped or rewritten filtered (rare:
         compaction folds only committed waves, and rollback targets the
         uncommitted tail)."""
+        self._folded_cache.pop(name, None)
         for p in self._dir(name).glob("wave=*"):
             if int(p.name.split("=")[1]) > wave:
                 shutil.rmtree(p)
@@ -307,3 +322,4 @@ class TableIO:
             p.rename(bak)
             tmp.rename(p)
             shutil.rmtree(bak)
+        self._folded_cache.pop(name, None)

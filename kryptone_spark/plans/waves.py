@@ -244,11 +244,7 @@ class WaveRunner:
     def flush(self) -> None:
         """Synchronous flush: drain the queue AND join every in-flight
         background commit — the durability barrier run()/resume() use."""
-        items, self._pending_flush = self._pending_flush, []
-        if items:
-            self._flush_futures.append(
-                self._flush_executor.submit(self._do_flush, items)
-            )
+        self._flush_async()
         self._raise_flush_errors(wait=True)
 
     # ---- bootstrap ---------------------------------------------------
@@ -614,9 +610,12 @@ class WaveRunner:
             self._queue_flush("edges", wave, edges, group=wave)
         if self.priority == "pagerank":
             e = admitted.select("src_url", F.col("url").alias("dst_url"))
+            # lineage cut like every other cumulative state: without it
+            # the union chain is O(waves) deep and each rank cycle
+            # re-analyzes the whole chain — quadratic driver planning
             self._edges_acc = (
                 e if self._edges_acc is None else self._edges_acc.unionByName(e)
-            )
+            ).localCheckpoint(eager=False)
         # Per-filter cardinality rides the same single-shuffle agg as
         # urls_in/out (conditional sums partial-aggregate map-side); the
         # reason vocabulary is the closed admission set (admission.py
@@ -733,6 +732,29 @@ class WaveRunner:
                 self._state[t] = df.drop("wave").localCheckpoint(eager=False)
         fb = self.io.read("fetch_batches")
         ff = self.io.read("fetch_failed")
+        # rebuild the link-evidence priority state from committed edges:
+        # a resumed pagerank crawl must rank with the SAME pre-crash
+        # evidence or it silently reverts to FIFO until new edges
+        # accumulate (needs write_edges=True — without the durable edge
+        # table the evidence is unrecoverable and ranking restarts cold)
+        if self.priority == "pagerank":
+            ed = self.io.read("edges")
+            if ed is not None:
+                self._edges_acc = ed.select(
+                    "src_url", "dst_url"
+                ).localCheckpoint(eager=False)
+                # ranks as-of the last rank cycle: run_wave computes
+                # them AT aligned wave w from edges of waves < w
+                lrw = ((next_wave - 1) // self.rank_every) * self.rank_every
+                if lrw >= 1:
+                    from kryptone_spark.operators import linkgraph
+
+                    prior = ed.where(F.col("wave") < lrw).select(
+                        "src_url", "dst_url"
+                    )
+                    self._ranks = linkgraph.pagerank(prior).localCheckpoint(
+                        eager=False
+                    )
         # rebuild the per-domain quota counters from committed batches
         if self.config.max_pages_per_domain is not None and fb is not None:
             self._fetched_counts = (

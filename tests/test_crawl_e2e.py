@@ -320,6 +320,21 @@ def test_pagerank_priority_fetches_hub_earlier(spark, tmp_path):
     # same coverage, different order
     assert fifo_visited == pr_visited
     assert set(fifo_order) == set(pr_order)
+
+    # resume parity: pre-crash link evidence must survive — an
+    # interrupted pagerank crawl resumes with the SAME fetch order
+    io_r = TableIO(spark, str(tmp_path / "pr_resume"))
+    WaveRunner(
+        spark, config, site_df(spark, site), io_r, priority="pagerank"
+    ).run(max_waves=2)
+    WaveRunner(
+        spark, config, site_df(spark, site), io_r, priority="pagerank"
+    ).resume()
+    resumed = [
+        r["url"]
+        for r in io_r.read("fetch_batches").orderBy("wave", "rank_in_wave").collect()
+    ]
+    assert resumed == pr_order
     hub = f"{base}/hub"
     # fifo drains lexicographically: c, d fetch before hub; with link
     # evidence (a and b both point at hub) the priority queue pulls hub

@@ -38,3 +38,20 @@ def test_resolve_redirects_broadcast_no_big_side_shuffle(spark):
     plan = plan_of(R.resolve_redirects(urls, F.broadcast(edges)))
     assert "BroadcastHashJoin" in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_duplicate_edge_observations_do_not_multiply(spark):
+    """The same redirect observed by several fetches must not fork the
+    pointer-chase: t^h row blowup guard."""
+    from kryptone_spark.operators.redirects import resolve_redirects
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "b"), ("a", "b"), ("b", "c"), ("b", "c")],
+        "src_url string, dst_url string",
+    )
+    df = spark.createDataFrame([("a",), ("x",)], "url string")
+    rows = resolve_redirects(df, edges, max_hops=4).collect()
+    assert len(rows) == 2
+    got = {r["url"]: (r["final_url"], r["n_hops"], r["is_terminal"]) for r in rows}
+    assert got["a"] == ("c", 2, True)
+    assert got["x"] == ("x", 0, True)

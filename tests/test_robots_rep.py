@@ -228,3 +228,17 @@ def test_parse_cache_control_directives(spark):
     assert (got[2]["no_store"], got[2]["next_fetch_us"]) == (True, 1_000_000)
     assert (got[3]["max_age_s"], got[3]["next_fetch_us"]) == (None, 11_000_000)
     assert got[4]["next_fetch_us"] == 120_000_000  # case-insensitive
+
+
+def test_rep_target_empty_path_is_root(spark):
+    """RFC 3986 §6.2.3: 'Disallow: /' must block the domain root even
+    when the URL carries no path, and a bare-query URL matches as
+    '/?...'."""
+    from kryptone_spark.operators.schedule import rep_target
+
+    df = spark.createDataFrame(
+        [("http://a.test",), ("http://a.test?q=1",), ("http://a.test/p?x=2",)],
+        "url string",
+    )
+    got = [r["t"] for r in df.select(rep_target(F.col("url")).alias("t")).collect()]
+    assert got == ["/", "/?q=1", "/p?x=2"]

@@ -241,3 +241,18 @@ def test_cuckoo_overfill_never_loses_inserted_keys():
     assert 0 < len(accepted) < len(keys)  # some failed — the scenario under test
     got = f.contains_many(np.array(accepted, dtype=np.uint64))
     assert got.all(), f"{(~got).sum()} accepted keys read as absent"
+
+
+def test_merge_sidecars_rejects_mixed_paths(spark):
+    """broadcast-list + table-DataFrame sidecars cannot merge — a clear
+    TypeError beats the AttributeError it used to raise."""
+    import pytest as _pytest
+
+    from kryptone_spark.operators.seen import merge_sidecars
+
+    df = spark.createDataFrame([(1,)], "x int")
+    with _pytest.raises(TypeError, match="SAME path"):
+        merge_sidecars([{"domain_bucket": 0}], df)
+    with _pytest.raises(TypeError, match="SAME path"):
+        merge_sidecars(df, [{"domain_bucket": 0}])
+    assert merge_sidecars([1], [2]) == [1, 2]
