@@ -2349,7 +2349,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id,
                      list_filter(
                        string_split_regex(
-                         regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'),
+                         regexp_replace(lower(text), '[^a-z0-9一-鿿 ]', ' ', 'g'), ' +'),
                        t -> t <> '') AS toks
               FROM documents),
             grams AS (
@@ -2363,7 +2363,7 @@ def oracle_sql() -> dict[str, str]:
             btok AS (
               SELECT list_filter(
                        string_split_regex(
-                         regexp_replace(lower(substr(text, 1, 120)), '[^a-z0-9 ]', ' ', 'g'), ' +'),
+                         regexp_replace(lower(substr(text, 1, 120)), '[^a-z0-9一-鿿 ]', ' ', 'g'), ' +'),
                        t -> t <> '') AS toks
               FROM documents WHERE doc_id % 50 = 0),
             bgrams AS (
@@ -3060,11 +3060,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "warc_roundtrip": """
             -- the WARC archive is synthesized from documents with
-            -- Content-Length = length(text) and body = text, so the
+            -- Content-Length = UTF-8 BYTES of text (spec octets; DuckDB
+            -- strlen = bytes, length = chars) and body = text, so the
             -- parsed records must reproduce the table exactly
             SELECT 'https://docs.test/doc-' || doc_id AS target_uri,
                    'response' AS warc_type,
-                   length(text)::BIGINT AS content_length,
+                   strlen(text)::BIGINT AS content_length,
                    md5(text) AS body_md5
             FROM documents
         """,

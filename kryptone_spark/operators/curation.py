@@ -158,12 +158,15 @@ def pack_shards(
     order_col: str = "doc_id",
     out_col: str = "shard_id",
 ) -> DataFrame:
-    """Assign each doc to a training shard by sequential fill: docs in
-    ``order_col`` order accumulate into a shard until ``budget``
-    tokens, then the next shard starts — shard_id = floor(exclusive
-    running token sum / budget). This is the deterministic shard plan
-    a dataloader needs (every engine run and every cluster size yields
-    the same doc→shard map); docs larger than the budget get their own
+    """Assign each doc to a training shard by FIXED TOKEN-OFFSET
+    binning: shard_id = floor(exclusive running token sum / budget) —
+    shard k owns token offsets [k·budget, (k+1)·budget). A doc
+    straddling a boundary lands in the shard its first token falls in,
+    so that shard runs over by the straddle amount and the NEXT shard
+    is short by the same amount (offsets, not per-shard re-fill: a
+    greedy accumulate-then-reset rule is a sequential recurrence that
+    cannot be expressed as a distributed cumsum). Deterministic on any
+    cluster size; docs larger than the budget get their own
     boundary-straddling shard rather than being split.
 
     Scale: the running sum is the two-phase ``global_cumsum`` — one

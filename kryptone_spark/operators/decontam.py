@@ -28,10 +28,13 @@ from pyspark.sql import functions as F
 
 
 def _toks(text_col: Column) -> Column:
-    """Shared lowercase-alnum tokenizer (same SQL form as
-    dedup.normalized_tokens, but order-preserving and non-distinct)."""
+    """Order-preserving non-distinct tokenizer, charset-aligned with
+    textstats._tok: CJK codepoints ARE tokens — an ASCII-only charset
+    would tokenize a Chinese/Japanese benchmark to zero n-grams and
+    silently mark every doc uncontaminated, exactly the docs this
+    operator exists to flag."""
     return F.filter(
-        F.split(F.regexp_replace(F.lower(text_col), "[^a-z0-9 ]", " "), " +"),
+        F.split(F.regexp_replace(F.lower(text_col), "[^a-z0-9一-鿿 ]", " "), " +"),
         lambda t: t != "",
     )
 

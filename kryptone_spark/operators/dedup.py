@@ -106,9 +106,16 @@ def dedup_lines(
     before the join and pass through by coalesce), which at 100 TB is
     the small minority of a crawl's distinct lines.
     """
+    import re as _re
+
+    # literal separator (F.split takes a REGEX — '|' or '.' would
+    # shred the text per-character) + NULL text survives as '' (a
+    # plain posexplode would silently drop the doc from the output)
     lines = df.select(
         id_col,
-        F.posexplode(F.split(F.col(text_col), line_sep)).alias("line_no", "line"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), _re.escape(line_sep))
+        ).alias("line_no", "line"),
     )
     elig = F.length("line") >= min_line_len
     lines = lines.withColumn("__k", F.when(elig, F.md5(F.col("line"))))

@@ -46,7 +46,12 @@ def _norm(a):
 
 
 def cosine(a, b):
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """NULL (not NaN) for zero-norm vectors: 0/0 is IEEE NaN even under
+    ANSI, and Spark sorts NaN ABOVE every double — one dead/padded
+    embedding would otherwise claim rank 1 of every query's top-k.
+    NULLs sort last under desc and fail every `sim >= t` filter."""
+    den = _norm(a) * _norm(b)
+    return F.when(den != 0, _dot(a, b) / den)
 
 
 def brute_force_topk(

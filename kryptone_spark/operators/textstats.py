@@ -96,15 +96,16 @@ def repetition_stats(
     frequent word bigram / total bigrams, 0.0 when < 2 words). Both
     fractions rounded to 6 dp (oracle-hash parity).
 
-    Scale shape: ONE pass over the text — the word-level stats are
-    computed in the same projection that builds the bigram list, then
-    ``explode_outer`` (docs with < 2 words keep a null row, so no
-    join-back to recover them) feeds groupBy(key, bigram) →
-    groupBy(key): two doc-keyed shuffles with map-side partial
-    aggregation, zero joins, zero re-scans. The word stats ride the
-    shuffles as ``first()`` (functionally dependent on the key). All
-    cardinality is O(total tokens); no skew beyond document length, so
-    a 100 TB corpus is bounded by its token count, not doc count.
+    Scale shape: ZERO shuffles — one projection. The word stats are
+    array expressions, and the top-bigram count is an IN-ROW fold over
+    the doc's sorted bigram array (max consecutive-equal run): a doc's
+    bigrams are already colocated in its row, so nothing needs a
+    groupBy. (The previous explode → groupBy(key, bigram) form carried
+    every input column — including the full text — as first() through
+    two exchanges: one copy of the text PER DISTINCT BIGRAM.) Cost is
+    O(n log n) in-row per doc; the fold knocks this one projection out
+    of codegen, which a 100 TB corpus trades gladly for the removed
+    token-volume shuffle.
     """
     words = F.filter(_tok(F.col(text_col)), lambda t: t != "")
     base = (
@@ -133,20 +134,32 @@ def repetition_stats(
         ),
     ).otherwise(F.array().cast("array<string>"))
     carried = [c for c in base.columns if c != "__words"]
-    exploded = base.select(*carried, F.explode_outer(bigrams).alias("__bg"))
-    # count(__bg) skips the null row explode_outer keeps for short docs,
-    # so their max/sum collapse to 0 → top_bigram_frac coalesces to 0.0
-    per_bigram = exploded.groupBy(key_col, "__bg").agg(
-        F.count("__bg").alias("__c"),
-        *[F.first(c).alias(c) for c in carried if c != key_col],
-    )
-    per_doc = per_bigram.groupBy(key_col).agg(
-        F.max("__c").alias("__mx"),
-        F.sum("__c").alias("n_bigrams"),
-        *[F.first(c).alias(c) for c in carried if c != key_col],
+    # in-row top-bigram count: sort the bigram list, fold once tracking
+    # the longest equal run. Bigrams are 'w1 w2' of nonempty words, so
+    # the '' sentinel can never collide with a real element.
+    zero = F.lit(0).cast("long")
+    run_best = F.aggregate(
+        F.array_sort(bigrams),
+        F.struct(
+            F.lit("").alias("prev"), zero.alias("run"), zero.alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+                F.lit(1).cast("long")
+            ).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+                    F.lit(1).cast("long")
+                ),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
     )
     out = (
-        per_doc.withColumn("n_bigrams", F.col("n_bigrams").cast("long"))
+        base.withColumn("n_bigrams", F.size(bigrams).cast("long"))
+        .withColumn("__mx", run_best)
         .withColumn(
             "top_bigram_frac",
             # explicit n_bigrams > 0 guard: 0/0 double division is NaN
@@ -156,7 +169,7 @@ def repetition_stats(
                 F.round(F.col("__mx").cast("double") / F.col("n_bigrams"), 6),
             ).otherwise(F.lit(0.0)),
         )
-        .drop("__mx")
+        .drop("__mx", "__words")
     )
     return out.select(*carried, "n_bigrams", "top_bigram_frac")
 

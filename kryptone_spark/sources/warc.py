@@ -9,9 +9,11 @@ the engine ships a columnar reader:
   record magic — splitting happens IN the scan (distributed,
   splittable at file granularity), never in Python;
 - header parsing is pure projection: ``substring_index`` isolates the
-  header block, ``str_to_map`` turns ``Name: value`` lines into a map,
-  typed fields project out with ``try_cast`` (ANSI-safe on dirty
-  headers).
+  header block, a first-wins fold turns ``Name: value`` lines into a
+  map (the spec allows REPEATED header names, e.g. several
+  WARC-Concurrent-To lines — ``str_to_map`` would throw
+  DUPLICATE_MAP_KEY under Spark's default dedup policy), typed fields
+  project out with ``try_cast`` (ANSI-safe on dirty headers).
 
 Scope (documented subset): record boundaries are trusted from the
 ``WARC/1.0\\r\\n`` framing, so a *binary* body that embeds the magic
@@ -56,7 +58,17 @@ def parse_warc(df: DataFrame, col: str = "value") -> DataFrame:
     # text writer's line terminator), not payload — a body's own
     # trailing newlines are not preserved (documented subset)
     body = F.regexp_replace(after, r"[\r\n]+$", "")
-    m = F.str_to_map(headers, F.lit("\r\n"), F.lit(": "))
+    # first-wins header map: duplicate names are spec-legal, so a
+    # plain str_to_map raises DUPLICATE_MAP_KEY on real archives
+    hkey = lambda l: F.substring_index(l, ": ", 1)
+    hval = lambda l: F.substring(l, F.length(hkey(l)) + 3, F.length(l))
+    m = F.aggregate(
+        F.filter(F.split(headers, "\r\n"), lambda l: l.contains(": ")),
+        F.expr("cast(map() as map<string,string>)"),
+        lambda acc, l: F.when(F.map_contains_key(acc, hkey(l)), acc).otherwise(
+            F.map_concat(acc, F.create_map(hkey(l), hval(l)))
+        ),
+    )
     return df.select(
         F.element_at(m, "WARC-Type").alias("warc_type"),
         F.element_at(m, "WARC-Target-URI").alias("target_uri"),
@@ -77,10 +89,14 @@ def write_warc(docs: DataFrame, path: str, url_col: str = "url",
         F.lit("WARC-Type: response\r\n"),
         F.lit("WARC-Target-URI: "), F.col(url_col), F.lit("\r\n"),
         F.lit(f"WARC-Date: {date}\r\n"),
-        F.lit("Content-Length: "), F.length(text_col).cast("string"), F.lit("\r\n"),
+        # UTF-8 BYTES per the spec (octet_length) — char count under-
+        # reports any non-ASCII body and desyncs spec-honoring readers
+        F.lit("Content-Length: "), F.octet_length(text_col).cast("string"), F.lit("\r\n"),
         F.lit("\r\n"),
         F.col(text_col), F.lit("\r\n"),
     )
-    # join records with '' lineSep: each text row already carries its
-    # trailing \r\n, the next row's magic starts the next record
-    docs.select(rec.alias("value")).write.mode("overwrite").text(path)
+    # each row ends '...\r\n' and the writer's lineSep appends the
+    # second CRLF — the spec's two-CRLF record terminator, exactly
+    docs.select(rec.alias("value")).write.mode("overwrite").option(
+        "lineSep", "\r\n"
+    ).text(path)

@@ -328,3 +328,38 @@ def test_warc_roundtrip(spark, tmp_path):
         assert r["warc_type"] == "response"
         assert r["content_length"] == len(docs.where(
             F.col("url") == r["target_uri"]).collect()[0]["text"])
+
+
+def test_warc_duplicate_headers_and_utf8_length(spark, tmp_path):
+    """Spec conformance: repeated header names (legal WARC) parse
+    first-wins instead of raising DUPLICATE_MAP_KEY; Content-Length is
+    UTF-8 bytes, not characters; record terminator is two CRLFs."""
+    from kryptone_spark.sources import warc
+
+    rec = (
+        "WARC-Type: response\r\n"
+        "WARC-Target-URI: http://a.test/\r\n"
+        "WARC-Concurrent-To: <urn:uuid:1>\r\n"
+        "WARC-Concurrent-To: <urn:uuid:2>\r\n"
+        "Content-Length: 4\r\n"
+        "\r\n"
+        "body\r\n\r\n"
+    )
+    df = spark.createDataFrame([(rec,)], "value string")
+    row = warc.parse_warc(df).collect()[0]
+    assert (row["warc_type"], row["content_length"], row["body"]) == (
+        "response", 4, "body")
+
+    docs = spark.createDataFrame(
+        [("http://u.test/1", "café über")], "url string, text string"
+    )
+    path = str(tmp_path / "w8")
+    warc.write_warc(docs, path)
+    out = warc.read_warc(spark, path).collect()[0]
+    assert out["content_length"] == len("café über".encode()) == 11
+    assert out["body"] == "café über"
+    import pathlib
+    raw = b"".join(
+        p.read_bytes() for p in sorted(pathlib.Path(path).glob("part-*"))
+    )
+    assert raw.endswith(b"caf\xc3\xa9 \xc3\xbcber\r\n\r\n")  # two CRLFs

@@ -732,3 +732,34 @@ def test_image_context_pairs_boundaries(spark):
         ("d1", "i4"): ("t2", None),
         ("d2", "j1"): (None, None),
     }
+
+
+def test_cosine_zero_norm_never_ranks_first(spark):
+    """A zero embedding has NULL (undefined) similarity: it must not
+    claim rank 1 via NaN-sorts-high, and it fails threshold filters."""
+    table = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "query_id long, embedding array<double>"
+    )
+    rows = simsearch.brute_force_topk(table, queries, k=3).collect()
+    order = [r["neighbor_id"] for r in sorted(rows, key=lambda r: r["rank"])]
+    assert order[0] == 1 and order[-1] == 3  # zero vector sorts last
+    assert [r["sim"] for r in rows if r["neighbor_id"] == 3] == [None]
+    pairs = simsearch.near_dup_pairs(table, min_sim=0.1).collect()
+    assert all(3 not in (r["vec_a"], r["vec_b"]) for r in pairs)
+
+
+def test_dedup_lines_null_text_and_literal_sep(spark):
+    """NULL text keeps its doc row; regex-metachar separators split
+    literally."""
+    df = spark.createDataFrame(
+        [(1, "a|b|a"), (2, None)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in
+           dedup.dedup_lines(df, line_sep="|", min_line_len=1).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["text"] == "a|b" and out[1]["n_lines"] == 3
+    assert out[2]["text"] == "" and out[2]["n_kept"] == 1  # '' ineligible, passes
