@@ -1524,6 +1524,38 @@ def q_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level link graph + host PageRank (linkgraph.domain_graph →
+    pagerank over domains): the ranking real crawl schedulers use.
+    Edges synthesized from lineitem span 5 src-hosts × 7 dst-hosts;
+    intra-domain edges drop in the rollup. Oracle restates the rollup
+    and the 3 unrolled iterations."""
+    from kryptone_spark.operators import linkgraph
+
+    li = _load(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(
+            F.lit("http://h"), (F.col("l_orderkey") % 5).cast("string"),
+            F.lit(".test/o-"), F.col("l_orderkey").cast("string"),
+        ).alias("src_url"),
+        F.concat(
+            F.lit("http://h"), (F.col("l_partkey") % 7).cast("string"),
+            F.lit(".test/p-"), F.col("l_partkey").cast("string"),
+        ).alias("dst_url"),
+    )
+    dg = linkgraph.domain_graph(edges)
+    ranks = linkgraph.pagerank(
+        dg, src_col="src_domain", dst_col="dst_domain"
+    ).select(F.col("url").alias("domain"), "rank")
+    inbound = dg.groupBy(F.col("dst_domain").alias("domain")).agg(
+        F.sum("n_links").alias("n_inbound_links")
+    )
+    return ranks.join(inbound, "domain", "left").select(
+        "domain", "rank",
+        F.coalesce(F.col("n_inbound_links"), F.lit(0)).alias("n_inbound_links"),
+    )
+
+
 def q_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL shape-template mining (traps.url_templates): the synthesized
     orders corpus collapses to a handful of {n}-templates with big
@@ -1774,6 +1806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_diff": q_crawl_diff,
         "schedule_audit": q_schedule_audit,
         "url_templates": q_url_templates,
+        "domain_pagerank": q_domain_pagerank,
         "cache_control": q_cache_control,
         "frontier_quota": q_frontier_quota,
         "seo_audit": q_seo_audit,
@@ -2539,6 +2572,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, domain, rank_in_domain
             FROM ranked
             WHERE rank_in_domain <= 8 AND rank_in_domain <= 10 - nf
+        """,
+        "domain_pagerank": """
+            WITH ue AS (
+              SELECT 'h' || (l_orderkey % 5) || '.test' AS sd,
+                     'h' || (l_partkey % 7) || '.test' AS dd
+              FROM lineitem),
+            dg AS (
+              SELECT sd, dd, count(*) AS n_links
+              FROM ue WHERE sd <> dd GROUP BY sd, dd),
+            edges AS (SELECT DISTINCT sd AS src, dd AS dst FROM dg),
+            nodes AS (SELECT src AS url FROM edges UNION SELECT dst FROM edges),
+            outdeg AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
+            r0 AS (SELECT url, 1.0::DOUBLE AS rank FROM nodes),
+            r1 AS (
+              SELECT n.url,
+                     round(0.15 + 0.85 * coalesce(sum(r0.rank / o.od), 0), 9) AS rank
+              FROM nodes n
+              LEFT JOIN edges e ON e.dst = n.url
+              LEFT JOIN r0 ON r0.url = e.src
+              LEFT JOIN outdeg o ON o.src = e.src
+              GROUP BY n.url),
+            r2 AS (
+              SELECT n.url,
+                     round(0.15 + 0.85 * coalesce(sum(r1.rank / o.od), 0), 9) AS rank
+              FROM nodes n
+              LEFT JOIN edges e ON e.dst = n.url
+              LEFT JOIN r1 ON r1.url = e.src
+              LEFT JOIN outdeg o ON o.src = e.src
+              GROUP BY n.url),
+            r3 AS (
+              SELECT n.url,
+                     round(0.15 + 0.85 * coalesce(sum(r2.rank / o.od), 0), 9) AS rank
+              FROM nodes n
+              LEFT JOIN edges e ON e.dst = n.url
+              LEFT JOIN r2 ON r2.url = e.src
+              LEFT JOIN outdeg o ON o.src = e.src
+              GROUP BY n.url),
+            inbound AS (
+              SELECT dd AS domain, sum(n_links)::BIGINT AS n_inbound_links
+              FROM dg GROUP BY dd)
+            SELECT r3.url AS domain, r3.rank::DOUBLE AS rank,
+                   coalesce(i.n_inbound_links, 0)::BIGINT AS n_inbound_links
+            FROM r3 LEFT JOIN inbound i ON r3.url = i.domain
         """,
         "url_templates": f"""
             WITH {URLS_CTE.strip()},

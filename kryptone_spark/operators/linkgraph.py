@@ -83,3 +83,29 @@ def prioritize_frontier(
         .withColumn("priority", -F.coalesce(F.col("rank"), F.lit(0.0)))
         .drop("rank")
     )
+
+
+def domain_graph(
+    edges: DataFrame, src_col: str = "src_url", dst_col: str = "dst_url"
+) -> DataFrame:
+    """Host-level rollup of the URL edge table — the graph real crawl
+    schedulers actually rank (host centrality à la Common Crawl's
+    harmonic-centrality ranking): (src_domain, dst_domain, n_links,
+    n_src_pages), intra-domain edges excluded (self-endorsement is
+    navigation, not evidence). Feed the result to ``pagerank(...,
+    src_col='src_domain', dst_col='dst_domain')`` for host ranks.
+
+    Scale: the rollup is one groupBy over host pairs — domains number
+    ~10^7-10^8 where URLs number 10^10, so every downstream graph op
+    runs on a table 100-1000× smaller than the URL graph."""
+    from kryptone_spark.functions import urls as U
+
+    e = edges.select(
+        U.host(F.col(src_col)).alias("src_domain"),
+        U.host(F.col(dst_col)).alias("dst_domain"),
+        F.col(src_col).alias("__src"),
+    ).where(F.col("src_domain") != F.col("dst_domain"))
+    return e.groupBy("src_domain", "dst_domain").agg(
+        F.count("*").alias("n_links"),
+        F.countDistinct("__src").alias("n_src_pages"),
+    )

@@ -186,3 +186,24 @@ def test_url_templates_replacement_order(spark):
     assert got["http://s.test/doc/{hex}"][0] == 1
     assert got["http://s.test/u/{uuid}"][0] == 1
     assert got["http://s.test/plain"][0] == 1
+
+
+def test_domain_graph_rollup(spark):
+    """Intra-domain edges drop; counts and distinct-src per pair."""
+    from kryptone_spark.operators.linkgraph import domain_graph
+
+    edges = spark.createDataFrame(
+        [
+            ("http://a.test/1", "http://b.test/x"),
+            ("http://a.test/1", "http://b.test/y"),
+            ("http://a.test/2", "http://b.test/x"),
+            ("http://a.test/3", "http://a.test/4"),   # intra — dropped
+            ("http://b.test/x", "http://a.test/1"),
+        ],
+        "src_url string, dst_url string",
+    )
+    got = {
+        (r["src_domain"], r["dst_domain"]): (r["n_links"], r["n_src_pages"])
+        for r in domain_graph(edges).collect()
+    }
+    assert got == {("a.test", "b.test"): (3, 2), ("b.test", "a.test"): (1, 1)}
