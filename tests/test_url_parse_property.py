@@ -135,3 +135,54 @@ def test_resolve_relative_matches_urljoin_dot_segments(spark):
     }
     for c in cases:
         assert got[c] == want[c], (c, got[c], want[c])
+
+
+def test_canonicalize_full_matches_python_reference(spark):
+    """The LIVE canonicalizer (admission's canonicalize='full' mode)
+    vs an independent Python restatement of its documented rules:
+    first-# fragment cut, lowercase scheme+netloc, one trailing slash
+    stripped from non-root paths, tracking params dropped order- and
+    duplicate-preserving, ';params' dropped for uses_params schemes
+    (urlparse path semantics). Fuzzed over the adversarial corpus plus
+    targeted tracking/edge cases."""
+    import re
+
+    from kryptone_spark.config import DEFAULT_TRACKING_PARAMS
+
+    urls = gen_urls(400, seed=7) + [
+        "http://EX.com/a/?utm_source=x&b=2#f",
+        "http://ex.com/?gclid=1",
+        "http://ex.com/p?a=1&utm_medium=m&a=2",
+        "http://ex.com",
+        "http://ex.com/",
+        "//host/p/?utm_term=1",
+        "http://ex.com/p;params?utm_source=s&keep=1",
+        "http://ex.com/p?utm_source=1&utm_source=2",
+        "http://ex.com/p?&&a=1&fbclid=z",
+    ]
+    tracked = set(DEFAULT_TRACKING_PARAMS)
+
+    def ref(u):
+        base = u.split("#", 1)[0]
+        p = urllib.parse.urlparse(base)
+        path = p.path if p.path == "/" else re.sub("/$", "", p.path)
+        q = p.query
+        if q != "":
+            q = "&".join(
+                kv for kv in q.split("&") if kv.split("=", 1)[0] not in tracked
+            )
+        out = (p.scheme + "://" if p.scheme else "") + p.netloc.lower() + path
+        if q:
+            out += "?" + q
+        return out
+
+    df = spark.createDataFrame([(u,) for u in dict.fromkeys(urls)], "url string")
+    got = {
+        r["url"]: r["c"]
+        for r in df.select(
+            "url",
+            U.canonicalize_full(F.col("url"), DEFAULT_TRACKING_PARAMS).alias("c"),
+        ).collect()
+    }
+    bad = {u: (g, ref(u)) for u, g in got.items() if g != ref(u)}
+    assert not bad, dict(list(bad.items())[:5])
