@@ -1591,6 +1591,32 @@ def q_cache_control(spark: SparkSession, sf_dir: str) -> DataFrame:
     return schedule.parse_cache_control(log)
 
 
+def q_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap discovery from robots bodies (schedule.robots_sitemaps):
+    even regions declare two sitemaps (one lowercase directive, CRLF
+    endings), odd regions none — the robots→sitemap→seeds pipeline's
+    missing hop, oracle-restated line-for-line."""
+    from kryptone_spark.operators import schedule
+
+    r = _load(spark, sf_dir, "region")
+    rk = F.col("r_regionkey").cast("string")
+    body = F.when(
+        F.col("r_regionkey") % 2 == 0,
+        F.concat(
+            F.lit("User-agent: *\r\nDisallow: /tmp\r\nSitemap: https://site"),
+            rk,
+            F.lit(".test/s1.xml\r\nsitemap:https://site"),
+            rk,
+            F.lit(".test/s2.xml\r\n"),
+        ),
+    ).otherwise(F.lit("User-agent: *\r\nDisallow: /x\r\n"))
+    robots = r.select(
+        F.concat(F.lit("site"), rk, F.lit(".test")).alias("domain"),
+        body.alias("robots_txt"),
+    )
+    return schedule.robots_sitemaps(robots)
+
+
 def q_schedule_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Politeness-compliance audit (schedule.schedule_audit) over a
     drifting fetch log synthesized from events (domain = user_id % 20,
@@ -1805,6 +1831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recrawl_schedule": q_recrawl_schedule,
         "crawl_diff": q_crawl_diff,
         "schedule_audit": q_schedule_audit,
+        "robots_sitemaps": q_robots_sitemaps,
         "url_templates": q_url_templates,
         "domain_pagerank": q_domain_pagerank,
         "cache_control": q_cache_control,
@@ -2572,6 +2599,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, domain, rank_in_domain
             FROM ranked
             WHERE rank_in_domain <= 8 AND rank_in_domain <= 10 - nf
+        """,
+        "robots_sitemaps": """
+            WITH b AS (
+              SELECT 'site' || r_regionkey || '.test' AS domain,
+                     CASE WHEN r_regionkey % 2 = 0 THEN
+                       'User-agent: *' || chr(13) || chr(10) ||
+                       'Disallow: /tmp' || chr(13) || chr(10) ||
+                       'Sitemap: https://site' || r_regionkey || '.test/s1.xml'
+                         || chr(13) || chr(10) ||
+                       'sitemap:https://site' || r_regionkey || '.test/s2.xml'
+                         || chr(13) || chr(10)
+                     ELSE 'User-agent: *' || chr(13) || chr(10) ||
+                          'Disallow: /x' || chr(13) || chr(10) END AS body
+              FROM region),
+            l AS (
+              SELECT domain,
+                     trim(unnest(string_split(replace(body, chr(13) || chr(10), chr(10)), chr(10)))) AS ln
+              FROM b)
+            SELECT domain, trim(substr(ln, 9)) AS sitemap_url
+            FROM l
+            WHERE lower(ln) LIKE 'sitemap:%' AND trim(substr(ln, 9)) <> ''
         """,
         "domain_pagerank": """
             WITH ue AS (

@@ -315,6 +315,30 @@ def parse_robots_txt(
     )
 
 
+def robots_sitemaps(
+    df: DataFrame, domain_col: str = "domain", text_col: str = "robots_txt"
+) -> DataFrame:
+    """``Sitemap:`` discovery from robots bodies — the missing hop of
+    the seed pipeline: fetch robots.txt once per domain, extract the
+    sitemap URLs declared there (RFC 9309 §2.3 allows several; they
+    are GLOBAL lines, valid outside any agent section), feed them to
+    ``sources.seeds.sitemap_seeds``. Output: one (domain, sitemap_url)
+    row per declaration, document order preserved within a domain.
+    One projection (split + filter + transform + explode), no Python."""
+    s = F.col(text_col)
+    lines = F.transform(
+        F.split(F.regexp_replace(s, "\r\n", "\n"), "\n"), lambda ln: F.trim(ln)
+    )
+    maps = F.transform(
+        F.filter(lines, lambda ln: F.lower(ln).startswith("sitemap:")),
+        lambda ln: F.trim(F.substring(ln, 9, 100000)),
+    )
+    return df.select(
+        F.col(domain_col).alias("domain"),
+        F.explode(F.filter(maps, lambda v: v != "")).alias("sitemap_url"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # RFC 9309 (REP) matching — wildcards, anchors, Allow precedence
 # ---------------------------------------------------------------------------

@@ -242,3 +242,35 @@ def test_rep_target_empty_path_is_root(spark):
     )
     got = [r["t"] for r in df.select(rep_target(F.col("url")).alias("t")).collect()]
     assert got == ["/", "/?q=1", "/p?x=2"]
+
+
+def test_robots_sitemaps_to_seeds_pipeline(spark):
+    """robots_sitemaps: case-insensitive directive, CRLF bodies,
+    several declarations per domain, none for silent domains — and the
+    output feeds sitemap_seeds end-to-end."""
+    from kryptone_spark.operators.schedule import robots_sitemaps
+    from kryptone_spark.sources.seeds import sitemap_seeds
+
+    robots = spark.createDataFrame(
+        [
+            ("a.test", "User-agent: *\r\nSitemap: http://a.test/s.xml\r\n"
+                       "SITEMAP:http://a.test/t.xml\r\nDisallow: /x"),
+            ("b.test", "User-agent: *\nDisallow: /"),
+        ],
+        "domain string, robots_txt string",
+    )
+    got = {(r["domain"], r["sitemap_url"]) for r in robots_sitemaps(robots).collect()}
+    assert got == {
+        ("a.test", "http://a.test/s.xml"),
+        ("a.test", "http://a.test/t.xml"),
+    }
+
+    # discovered sitemap bodies flow into the seed source unchanged
+    bodies = spark.createDataFrame(
+        [("http://a.test/s.xml",
+          "<urlset><url><loc>http://a.test/p1</loc></url>"
+          "<url><loc>http://a.test/p2</loc></url></urlset>")],
+        "sitemap_url string, xml string",
+    )
+    seeds = {r["url"] for r in sitemap_seeds(bodies).collect()}
+    assert seeds == {"http://a.test/p1", "http://a.test/p2"}
