@@ -1591,6 +1591,29 @@ def q_cache_control(spark: SparkSession, sf_dir: str) -> DataFrame:
     return schedule.parse_cache_control(log)
 
 
+def q_frontier_age(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier starvation monitor (domains.frontier_age_stats): a
+    synthetic frontier from orders (discovered_wave = key%6, domain =
+    custkey%7) minus a visited slice (key%3=0), aged at wave 9."""
+    from kryptone_spark.operators import domains
+
+    o = _load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    url = F.concat(
+        F.lit("http://site"), (F.col("o_custkey") % 7).cast("string"),
+        F.lit(".test/p-"), k.cast("string"),
+    )
+    frontier = o.select(
+        url.alias("url"),
+        F.concat(
+            F.lit("site"), (F.col("o_custkey") % 7).cast("string"), F.lit(".test")
+        ).alias("domain"),
+        (k % 6).cast("int").alias("discovered_wave"),
+    )
+    visited = o.where(k % 3 == 0).select(url.alias("url"))
+    return domains.frontier_age_stats(frontier, visited, current_wave=9)
+
+
 def q_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap discovery from robots bodies (schedule.robots_sitemaps):
     even regions declare two sitemaps (one lowercase directive, CRLF
@@ -1832,6 +1855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_diff": q_crawl_diff,
         "schedule_audit": q_schedule_audit,
         "robots_sitemaps": q_robots_sitemaps,
+        "frontier_age": q_frontier_age,
         "url_templates": q_url_templates,
         "domain_pagerank": q_domain_pagerank,
         "cache_control": q_cache_control,
@@ -2599,6 +2623,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, domain, rank_in_domain
             FROM ranked
             WHERE rank_in_domain <= 8 AND rank_in_domain <= 10 - nf
+        """,
+        "frontier_age": """
+            WITH f AS (
+              SELECT 'http://site' || (o_custkey % 7) || '.test/p-' || o_orderkey AS url,
+                     'site' || (o_custkey % 7) || '.test' AS domain,
+                     (o_orderkey % 6)::INT AS dw
+              FROM orders
+              WHERE o_orderkey % 3 <> 0)
+            SELECT domain,
+                   count(*)::BIGINT AS n_pending,
+                   min(dw)::INT AS oldest_wave,
+                   max(9 - dw)::INT AS max_age,
+                   round(avg(9.0 - dw), 2) AS avg_age
+            FROM f GROUP BY domain
         """,
         "robots_sitemaps": """
             WITH b AS (

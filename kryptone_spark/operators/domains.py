@@ -107,3 +107,34 @@ def domain_filter(
     return docs.join(
         F.broadcast(keep), on=F.col(domain_col) == F.col("__keep_domain"), how="inner"
     ).drop("__keep_domain")
+
+
+def frontier_age_stats(
+    frontier: DataFrame,
+    visited: DataFrame | None,
+    current_wave: int,
+    domain_col: str = "domain",
+) -> DataFrame:
+    """Frontier starvation monitor — the operational view a long crawl
+    needs: per domain, how much work is still pending and how STALE the
+    oldest pending URL is (a domain whose max_age keeps growing is
+    being starved by politeness budgets or quota — the signal to raise
+    its budget or shed its tail). The reference can't see this at all:
+    its frontier is an unordered in-memory set with no discovery
+    metadata.
+
+    Input: the frontier state table (url, domain, discovered_wave) and
+    the visited table (url) — pending = frontier − visited, exactly the
+    wave loop's anti-join. Output per domain: n_pending, oldest_wave,
+    max_age (current_wave - oldest_wave), avg_age (2 dp). One anti-join
+    + one partial-agg groupBy; O(#domains) rows out."""
+    pending = frontier
+    if visited is not None:
+        pending = pending.join(visited.select("url"), "url", "left_anti")
+    age = F.lit(current_wave) - F.col("discovered_wave")
+    return pending.groupBy(domain_col).agg(
+        F.count("*").alias("n_pending"),
+        F.min("discovered_wave").alias("oldest_wave"),
+        F.max(age).alias("max_age"),
+        F.round(F.avg(age), 2).alias("avg_age"),
+    )

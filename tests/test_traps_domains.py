@@ -207,3 +207,23 @@ def test_domain_graph_rollup(spark):
         for r in domain_graph(edges).collect()
     }
     assert got == {("a.test", "b.test"): (3, 2), ("b.test", "a.test"): (1, 1)}
+
+
+def test_frontier_age_stats(spark):
+    """Pending = frontier − visited; ages from discovered_wave."""
+    from kryptone_spark.operators.domains import frontier_age_stats
+
+    frontier = spark.createDataFrame(
+        [
+            ("u1", "a.test", 0), ("u2", "a.test", 3), ("u3", "a.test", 5),
+            ("u4", "b.test", 5),
+        ],
+        "url string, domain string, discovered_wave int",
+    )
+    visited = spark.createDataFrame([("u2",)], "url string")
+    got = {r["domain"]: r for r in
+           frontier_age_stats(frontier, visited, current_wave=6).collect()}
+    a = got["a.test"]
+    assert (a["n_pending"], a["oldest_wave"], a["max_age"], a["avg_age"]) == (2, 0, 6, 3.5)
+    b = got["b.test"]
+    assert (b["n_pending"], b["max_age"]) == (1, 1)
