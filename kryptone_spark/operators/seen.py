@@ -414,10 +414,34 @@ def bloom_prefilter(
 # cuckoo variant — deletable membership for re-crawl windows
 # ---------------------------------------------------------------------------
 
-def build_cuckoo_sidecar(seen: DataFrame, config: CrawlConfig) -> dict[int, bytes]:
-    """One cuckoo filter per domain_bucket over the seen set. Unlike the
-    bloom sidecar it supports DELETES (expire_urls), enabling re-crawl
-    windows without rebuilding membership state."""
+_CUCKOO_SCHEMA = T.StructType(
+    [
+        T.StructField("domain_bucket", T.IntegerType(), False),
+        T.StructField("bits", T.BinaryType(), False),
+    ]
+)
+
+# table-path cuckoo sidecar rows: kind='filter' carries cuckoo table
+# bytes; kind='tombstone' carries a uint64 array of expired xxhash64
+# keys. gen orders them: a key is seen iff some filter row with
+# gen > (its latest tombstone's gen, or -1) contains it — so expiry
+# never shadows a later re-insert, and tombstones delete by EXACT
+# 64-bit key (no fingerprint-collision false negatives for other keys,
+# unlike in-place delete_many across multiple delta filters).
+_CUCKOO_TABLE_SCHEMA = T.StructType(
+    [
+        T.StructField("domain_bucket", T.IntegerType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("gen", T.LongType(), False),
+        T.StructField("bits", T.BinaryType(), False),
+    ]
+)
+
+
+def _cuckoo_df(seen: DataFrame, config: CrawlConfig) -> DataFrame:
+    """(domain_bucket, bits) cuckoo rows, built executor-side over
+    JVM-computed xxhash64 keys — shared by the broadcast and table
+    builders so the two paths cannot drift."""
     from kryptone_spark.functions.cuckoo import CuckooFilter
 
     hashed = seen.select(
@@ -425,12 +449,6 @@ def build_cuckoo_sidecar(seen: DataFrame, config: CrawlConfig) -> dict[int, byte
             "domain_bucket"
         ),
         F.xxhash64("url").alias("h"),
-    )
-    out_schema = T.StructType(
-        [
-            T.StructField("domain_bucket", T.IntegerType(), False),
-            T.StructField("bits", T.BinaryType(), False),
-        ]
     )
 
     def _build(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -453,8 +471,167 @@ def build_cuckoo_sidecar(seen: DataFrame, config: CrawlConfig) -> dict[int, byte
             {"domain_bucket": [int(pdf["domain_bucket"].iloc[0])], "bits": [f.to_bytes()]}
         )
 
-    rows = hashed.groupBy("domain_bucket").applyInPandas(_build, out_schema).collect()
-    return {int(r["domain_bucket"]): bytes(r["bits"]) for r in rows}
+    return hashed.groupBy("domain_bucket").applyInPandas(_build, _CUCKOO_SCHEMA)
+
+
+def build_cuckoo_sidecar(seen: DataFrame, config: CrawlConfig) -> dict[int, bytes]:
+    """One cuckoo filter per domain_bucket over the seen set. Unlike the
+    bloom sidecar it supports DELETES (expire_urls), enabling re-crawl
+    windows without rebuilding membership state.
+
+    Broadcast-path builder: the filter bytes are collected into a
+    driver dict, so the same BLOOM_BROADCAST_MAX_BYTES ceiling the
+    bloom path enforces applies — at 10^10 seen keys the cuckoo table
+    (uint16 fingerprint x 4 slots / key at ~0.5 load) is ~2 bytes/key
+    of occupied slots and far past any broadcast; use
+    build_cuckoo_sidecar_table + probe_cuckoo_table instead."""
+    rows = _cuckoo_df(seen, config).collect()
+    out = {int(r["domain_bucket"]): bytes(r["bits"]) for r in rows}
+    nbytes = sum(len(b) for b in out.values())
+    if nbytes > BLOOM_BROADCAST_MAX_BYTES:
+        raise ValueError(
+            f"cuckoo sidecar is {nbytes >> 20} MiB of filter bits — past the "
+            f"{BLOOM_BROADCAST_MAX_BYTES >> 20} MiB broadcast ceiling; use "
+            "build_cuckoo_sidecar_table + probe_cuckoo_table so the bits "
+            "never touch the driver"
+        )
+    return out
+
+
+def build_cuckoo_sidecar_table(
+    seen: DataFrame, config: CrawlConfig, gen: int = 0
+) -> DataFrame:
+    """Scale-path cuckoo sidecar: (domain_bucket, kind, gen, bits) rows
+    as a DataFrame that never touches the driver — persist via TableIO /
+    parquet partitioned on domain_bucket, probe with probe_cuckoo_table,
+    expire with expire_urls_table. Incremental maintenance is
+    unionByName of per-wave delta sidecars built at increasing ``gen``
+    (probe ORs across a bucket's filter rows, gen-gated against its
+    tombstones). Compaction = rebuild from the compacted seen table
+    (the exact state already has expired rows anti-joined out —
+    module docstring / plans/tableio.py), which also drops tombstones."""
+    return _cuckoo_df(seen, config).select(
+        "domain_bucket",
+        F.lit("filter").alias("kind"),
+        F.lit(int(gen)).alias("gen"),
+        "bits",
+    )
+
+
+def expire_urls_table(
+    sidecar: DataFrame, expired: DataFrame, config: CrawlConfig, gen: int = 1
+) -> DataFrame:
+    """Table-path re-crawl window: append tombstone rows carrying the
+    expired keys' exact xxhash64 values at generation ``gen`` — expired
+    URLs read unseen again through probe_cuckoo_table until a filter row
+    NEWER than the tombstone re-inserts them. One aggregation shuffle of
+    the expired set on domain_bucket; the sidecar is untouched (append-
+    only, so the same persisted filter rows keep serving). Nothing flows
+    through the driver. Tombstones fold away at compaction: rebuild the
+    sidecar from the seen table after its expired anti-join."""
+    tomb_schema = _CUCKOO_TABLE_SCHEMA
+
+    hashed = expired.select(
+        U.domain_bucket(U.netloc(F.col("url")), config.n_domain_buckets).alias(
+            "domain_bucket"
+        ),
+        F.xxhash64("url").alias("h"),
+    )
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        keys = np.unique(pdf["h"].to_numpy().view(np.uint64))
+        return pd.DataFrame(
+            {
+                "domain_bucket": [int(pdf["domain_bucket"].iloc[0])],
+                "kind": ["tombstone"],
+                "gen": [int(gen)],
+                "bits": [keys.tobytes()],
+            }
+        )
+
+    tombs = hashed.groupBy("domain_bucket").applyInPandas(_pack, tomb_schema)
+    return sidecar.unionByName(tombs)
+
+
+def probe_cuckoo_table(
+    candidates: DataFrame,
+    sidecar: DataFrame,
+    config: CrawlConfig,
+    url_col: str = "url",
+    pre_resolved: bool = False,
+    bucket_col: str | None = None,
+) -> DataFrame:
+    """Table-backed cuckoo probe: candidates cogrouped with the sidecar
+    on domain_bucket — each task holds only its buckets' filter bytes,
+    nothing is collected or broadcast (the 10^10-key deletable-
+    membership path). ``might_seen`` is True iff some filter row with
+    gen > the key's latest tombstone gen contains it; False ⇒ definitely
+    not seen (no false negatives — tombstones match exact 64-bit keys).
+    Same pre_resolved / bucket_col fast path as probe_bloom_table: a
+    candidate set already hash-partitioned on its stored domain_bucket
+    cogroups with no exchange."""
+    from kryptone_spark.functions.cuckoo import CuckooFilter
+
+    if pre_resolved:
+        prep = candidates.withColumn("__resolved", F.col(url_col))
+    else:
+        prep = candidates.select(
+            "*",
+            U.resolve_relative(F.col(url_col), F.lit(_origin_lit(config))).alias(
+                "__resolved"
+            ),
+            # nondeterministic barrier: stops CollapseProject inlining
+            # the dot-segment fold into the hash projections below
+            F.monotonically_increasing_id().alias("__pb"),
+        )
+    bucket = (
+        F.col(bucket_col)
+        if bucket_col is not None
+        else U.domain_bucket(U.netloc(F.col("__resolved")), config.n_domain_buckets)
+    )
+    prep = prep.select(
+        "*",
+        bucket.alias("__bk"),
+        F.xxhash64(F.col("__resolved")).alias("__h"),
+    ).drop("__resolved", *([] if pre_resolved else ["__pb"]))
+
+    out_fields = list(prep.schema.fields) + [
+        T.StructField("might_seen", T.BooleanType(), False)
+    ]
+    out_schema = T.StructType(out_fields)
+    out_cols = [f.name for f in out_fields]
+
+    def _probe(cand: pd.DataFrame, side: pd.DataFrame) -> pd.DataFrame:
+        if len(cand) == 0:
+            return pd.DataFrame(columns=out_cols)
+        hh = cand["__h"].to_numpy().view(np.uint64)
+        # latest tombstone gen per candidate key (-1 if never expired)
+        tomb_gen = np.full(len(hh), -1, dtype=np.int64)
+        filters: list[tuple[int, CuckooFilter]] = []
+        for r in side.to_dict("records"):
+            if r["kind"] == "tombstone":
+                keys = np.frombuffer(r["bits"], dtype=np.uint64)
+                hit = np.isin(hh, keys)
+                tomb_gen[hit] = np.maximum(tomb_gen[hit], int(r["gen"]))
+            else:
+                filters.append(
+                    (int(r["gen"]), CuckooFilter.from_bytes(bytes(r["bits"])))
+                )
+        seen_any = np.zeros(len(hh), dtype=bool)
+        for g, f in filters:
+            live = np.where(tomb_gen < g)[0]
+            if len(live):
+                seen_any[live] |= f.contains_many(hh[live])
+        out = cand.copy()
+        out["might_seen"] = seen_any
+        return out[out_cols]
+
+    res = (
+        prep.groupBy("__bk")
+        .cogroup(sidecar.groupBy("domain_bucket"))
+        .applyInPandas(_probe, schema=out_schema)
+    )
+    return res.drop("__bk", "__h")
 
 
 def probe_cuckoo(

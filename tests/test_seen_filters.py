@@ -224,6 +224,100 @@ def test_cuckoo_sidecar_probe_and_expire(spark, config):
     assert refetchable >= 48  # tiny residual FP allowed
 
 
+def test_cuckoo_table_probe_matches_broadcast(spark, config):
+    """The table-backed cuckoo probe must produce the exact might_seen
+    vector of the broadcast probe — same filters, same hashes, only the
+    data movement differs (twin of the bloom path-equality test)."""
+    urls = [f"http://sitea.test/p-{i}" for i in range(400)]
+    seen_df = spark.createDataFrame([(u,) for u in urls], "url string")
+    cand = spark.createDataFrame(
+        [(u, i) for i, u in enumerate(
+            urls[:200] + [f"http://sitea.test/new-{i}" for i in range(200)]
+        )],
+        "url string, tag int",
+    )
+    sidecar_dict = seen_ops.build_cuckoo_sidecar(seen_df, config)
+    sidecar_df = seen_ops.build_cuckoo_sidecar_table(seen_df, config)
+    a = {
+        (r["url"], r["tag"]): r["might_seen"]
+        for r in seen_ops.probe_cuckoo(cand, sidecar_dict, config).collect()
+    }
+    b = {
+        (r["url"], r["tag"]): r["might_seen"]
+        for r in seen_ops.probe_cuckoo_table(cand, sidecar_df, config).collect()
+    }
+    assert a == b
+    for i, u in enumerate(urls[:200]):  # no false negatives, table path
+        assert b[(u, i)] is True, u
+
+
+def test_cuckoo_table_expire_and_reinsert(spark, config):
+    """Tombstone expiry through the table path: expired keys read
+    EXACTLY unseen (64-bit key match — no fingerprint residue), and a
+    later-generation delta filter re-seats them."""
+    urls = [f"http://sitea.test/p-{i}" for i in range(300)]
+    seen_df = spark.createDataFrame([(u,) for u in urls], "url string")
+    sidecar = seen_ops.build_cuckoo_sidecar_table(seen_df, config, gen=0)
+    cand = spark.createDataFrame(
+        [(u,) for u in urls[:50] + [f"http://sitea.test/x-{i}" for i in range(50)]],
+        "url string",
+    )
+    expired = spark.createDataFrame([(u,) for u in urls[:50]], "url string")
+    sidecar2 = seen_ops.expire_urls_table(sidecar, expired, config, gen=1)
+    probed = {
+        r["url"]: r["might_seen"]
+        for r in seen_ops.probe_cuckoo_table(cand, sidecar2, config).collect()
+    }
+    for u in urls[:50]:  # exact: every expired key reads unseen
+        assert probed[u] is False, u
+    survivors = spark.createDataFrame([(u,) for u in urls[50:100]], "url string")
+    sv = {
+        r["url"]: r["might_seen"]
+        for r in seen_ops.probe_cuckoo_table(survivors, sidecar2, config).collect()
+    }
+    assert all(sv.values())  # non-expired keys untouched — no false negatives
+    # re-crawl happens: the expired keys come back as a gen-2 delta
+    recrawled = spark.createDataFrame([(u,) for u in urls[:50]], "url string")
+    sidecar3 = sidecar2.unionByName(
+        seen_ops.build_cuckoo_sidecar_table(recrawled, config, gen=2)
+    )
+    probed3 = {
+        r["url"]: r["might_seen"]
+        for r in seen_ops.probe_cuckoo_table(cand, sidecar3, config).collect()
+    }
+    for u in urls[:50]:  # newer filter gen beats the older tombstone
+        assert probed3[u] is True, u
+
+
+def test_cuckoo_broadcast_ceiling_enforced(spark, config, monkeypatch):
+    """Past the byte ceiling the broadcast builder must raise (a
+    controlled error beats a driver OOM at 10^10 keys); the table
+    builder keeps working at any size."""
+    seen_df = spark.createDataFrame(
+        [(f"http://sitea.test/p-{i}",) for i in range(200)], "url string"
+    )
+    monkeypatch.setattr(seen_ops, "BLOOM_BROADCAST_MAX_BYTES", 8)
+    with pytest.raises(ValueError, match="broadcast ceiling"):
+        seen_ops.build_cuckoo_sidecar(seen_df, config)
+    assert seen_ops.build_cuckoo_sidecar_table(seen_df, config).count() > 0
+
+
+def test_cuckoo_table_probe_collects_nothing(spark, config):
+    """Scale contract: the table path's plan must not broadcast the
+    filter bytes (they flow through the cogroup shuffle, per bucket)."""
+    seen_df = spark.createDataFrame(
+        [(f"http://sitea.test/p-{i}",) for i in range(50)], "url string"
+    )
+    cand = spark.createDataFrame([("http://sitea.test/p-1",)], "url string")
+    sidecar_df = seen_ops.build_cuckoo_sidecar_table(seen_df, config)
+    plan = (
+        seen_ops.probe_cuckoo_table(cand, sidecar_df, config)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "Broadcast" not in plan
+
+
 def test_cuckoo_overfill_never_loses_inserted_keys():
     """The kick loop must unwind on failure: an aborted displacement
     chain would evict a PREVIOUSLY INSERTED key (false negative — the
