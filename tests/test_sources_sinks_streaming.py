@@ -363,3 +363,73 @@ def test_warc_duplicate_headers_and_utf8_length(spark, tmp_path):
         p.read_bytes() for p in sorted(pathlib.Path(path).glob("part-*"))
     )
     assert raw.endswith(b"caf\xc3\xa9 \xc3\xbcber\r\n\r\n")  # two CRLFs
+
+
+def test_warc_binary_magic_embedding_body(spark, tmp_path):
+    """Strict framing: a BINARY body embedding the record magic must
+    not split early — the splitter seeks by Content-Length, never scans
+    body bytes. (The text path would shred this; documented subset.)"""
+    from kryptone_spark.sources import warc
+
+    evil = b"\x00\x01WARC/1.0\r\npayload\r\n\r\nmore\xff\xfe"
+    path = str(tmp_path / "bin.warc")
+    with open(path, "wb") as f:
+        f.write(
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Target-URI: http://a.test/bin\r\n"
+            b"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+            + f"Content-Length: {len(evil)}\r\n\r\n".encode()
+            + evil + b"\r\n\r\n"
+            + b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Target-URI: http://a.test/next\r\n"
+            b"Content-Length: 2\r\n\r\nok\r\n\r\n"
+        )
+    rows = {r["target_uri"]: r for r in warc.read_warc_binary(spark, path).collect()}
+    assert set(rows) == {"http://a.test/bin", "http://a.test/next"}
+    assert bytes(rows["http://a.test/bin"]["body"]) == evil  # exact bytes
+    assert rows["http://a.test/bin"]["content_length"] == len(evil)
+    assert bytes(rows["http://a.test/next"]["body"]) == b"ok"
+
+
+def test_warc_gz_multi_member_roundtrip(spark, tmp_path):
+    """Common-Crawl-style .warc.gz: one gzip member per record — a
+    one-shot gunzip would stop after the first member; the reader must
+    walk all of them."""
+    from kryptone_spark.sources import warc
+
+    recs = [
+        ("http://a.test/1", b"first body"),
+        ("http://a.test/2", b"WARC/1.0\r\n embedded AND gzipped"),
+        ("http://b.test/3", "unicode café".encode()),
+    ]
+    path = str(tmp_path / "multi.warc.gz")
+    warc.write_warc_gz_fixture(recs, path)
+    rows = {r["target_uri"]: r for r in warc.read_warc_binary(spark, path).collect()}
+    assert len(rows) == 3
+    for url, body in recs:
+        assert bytes(rows[url]["body"]) == body, url
+        assert rows[url]["content_length"] == len(body)
+        assert rows[url]["warc_type"] == "response"
+
+
+def test_warc_binary_agrees_with_text_path(spark, tmp_path):
+    """On a text-payload archive (write_warc output) the strict binary
+    reader and the lineSep text reader must agree on every typed column
+    and on the body bytes."""
+    from kryptone_spark.sources import warc
+
+    docs = spark.createDataFrame(
+        [("https://a.test/x?q=1:2", "hello world"),
+         ("https://a.test/empty", ""),
+         ("https://b.test/u", "café über")],
+        "url string, text string",
+    )
+    path = str(tmp_path / "warc")
+    warc.write_warc(docs, path)
+    txt = {r["target_uri"]: r for r in warc.read_warc(spark, path).collect()}
+    binr = {r["target_uri"]: r for r in warc.read_warc_binary(spark, path).collect()}
+    assert set(txt) == set(binr)
+    for uri in txt:
+        assert bytes(binr[uri]["body"]).decode() == txt[uri]["body"], uri
+        for c in ("warc_type", "warc_date", "content_length"):
+            assert binr[uri][c] == txt[uri][c], (uri, c)
