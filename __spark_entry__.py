@@ -245,12 +245,17 @@ def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from kryptone_spark.functions.rank import ranked_top_k
 
+    # top-k FIRST (TakeOrderedAndProject on the aggregated side), THEN
+    # broadcast the 10 surviving keys to orders: under FK integrity
+    # (every l_orderkey exists in orders — TPC-H guarantee) the answer
+    # is identical, and the orders table never shuffles — at 100x scale
+    # the join side is 10 rows, not an exchange of the full table.
+    # l_orderkey == o_orderkey on the join, so tie-breaking on it
+    # pre-join matches the old post-join ordering exactly.
+    top = ranked_top_k(rev, [F.desc("rev_d"), F.asc("l_orderkey")], 10)
     return (
-        ranked_top_k(
-            rev.join(orders, rev["l_orderkey"] == orders["o_orderkey"]),
-            [F.desc("rev_d"), F.asc("o_orderkey")],
-            10,
-        )
+        F.broadcast(top)
+        .join(orders, top["l_orderkey"] == orders["o_orderkey"])
         .select(
             "o_orderkey", "o_orderpriority",
             F.round(F.col("rev_d").cast("double"), 2).alias("revenue"),

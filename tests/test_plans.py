@@ -51,6 +51,27 @@ def test_revenue_chain_broadcasts_dims(spark, entry):
     assert "SortMergeJoin" not in plan
 
 
+def test_top_revenue_topk_before_join(spark, entry):
+    """top_revenue_orders must take the top-10 of the aggregated
+    revenue side FIRST (TakeOrderedAndProject) and then broadcast those
+    10 keys to orders — the orders table itself never shuffles. The
+    old join-then-topk shape exchanged the full orders table to rank
+    10 rows."""
+    plan = plan_of(entry.queries()["top_revenue_orders"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # the only exchanges allowed: the revenue groupBy's own shuffle and
+    # the single-partition pass that ranks the 10 survivors — no plain
+    # exchange may touch the orders scan side (the orders scan feeds
+    # the broadcast join directly)
+    import re
+    exchanges = re.findall(r"\(\d+\) Exchange", plan)
+    assert len(exchanges) <= 2, plan
+    orders_scan = plan.index("orders.parquet")
+    assert not re.search(r"\(\d+\) Exchange", plan[orders_scan:]), plan
+
+
 def test_semi_and_anti_joins(spark, entry):
     assert "LeftSemi" in plan_of(entry.queries()["customer_semi_join"](spark, SF))
     assert "LeftAnti" in plan_of(entry.queries()["part_anti_join"](spark, SF))
