@@ -196,7 +196,7 @@ def bench_crawl_loop(spark, n_products: int) -> dict:
     }
 
 
-def timed_entry_query(spark, sf_dir: str, name: str) -> dict:
+def timed_entry_query(spark, sf_dir: str, name: str, iters: int = 3) -> dict:
     import __spark_entry__ as em
 
     q = em.queries()[name]
@@ -204,10 +204,21 @@ def timed_entry_query(spark, sf_dir: str, name: str) -> dict:
     # columns being benchmarked (a projection-only query collapses to
     # a bare row-count scan) — the noop write materializes every row
     # of every output column with zero sink cost
+    run = lambda: q(spark, sf_dir).write.mode("overwrite").format("noop").save()
+    # same cold/steady split as the frontier legs: BENCH_r02 showed
+    # single-shot readings for unchanged queries drifting 1.5-2.4x on
+    # this shared host (lineitem_pricing 2.9→4.4s, top_revenue 2.4→5.6s
+    # with no code change) — best-of-3 warm passes report the engine,
+    # not the tenant burst; the codegen-compile first pass is cold_sec
     t = time.time()
-    q(spark, sf_dir).write.mode("overwrite").format("noop").save()
-    dt = time.time() - t
-    return {"sec": dt, "rows": q(spark, sf_dir).count()}
+    run()
+    cold = time.time() - t
+    best = float("inf")
+    for _ in range(iters):
+        t = time.time()
+        run()
+        best = min(best, time.time() - t)
+    return {"sec": best, "cold_sec": cold, "rows": q(spark, sf_dir).count()}
 
 
 def main() -> None:
