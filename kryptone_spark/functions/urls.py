@@ -14,6 +14,9 @@ pipeline inside one WholeStageCodegen span.
 
 from __future__ import annotations
 
+import functools as _functools
+
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -328,10 +331,15 @@ def strip_fragment(url: Column) -> Column:
 
 
 def registrable_domain(h: Column) -> Column:
-    """PSL-lite: last two labels, or last three when the 2nd-level
-    label is a common ccTLD second level. The reference only ever
-    compares full netlocs (base.py:694-696); this exists for salted
-    domain bucketing at scale."""
+    """PSL-lite heuristic: last two labels, or last three when the
+    2nd-level label is a common ccTLD second level. The reference only
+    ever compares full netlocs (base.py:694-696); this exists for
+    salted domain bucketing at scale. Codegen-friendly (pure Column
+    algebra) but mis-buckets multi-label suffixes the heuristic table
+    misses (*.nsw.au, *.or.jp, github.io, …) — use
+    ``registrable_domain_psl`` where exact grouping matters (politeness
+    fairness for those TLDs); this stays the default for plans that
+    must remain whole-stage-codegen."""
     parts = F.split(h, r"\.")
     n = F.size(parts)
     second = F.element_at(parts, -2)
@@ -343,6 +351,76 @@ def registrable_domain(h: Column) -> Column:
     ).otherwise(
         F.when(n >= 2, F.concat_ws(".", second, F.element_at(parts, -1))).otherwise(h)
     )
+
+
+@_functools.lru_cache(maxsize=1)
+def load_public_suffix_rules() -> tuple[frozenset, frozenset, frozenset]:
+    """Vendored public-suffix snapshot (publicsuffix.org, MPL-2.0 —
+    the same public list Debian ships at /usr/share/publicsuffix and
+    the JDK embeds) parsed into (exact, wildcard_bases, exceptions):
+    ``*.kawasaki.jp`` lands its base ``kawasaki.jp`` in wildcard_bases,
+    ``!city.kawasaki.jp`` lands in exceptions. ~9.5k rules, ~200 KB —
+    ships to executors once inside the UDF closure."""
+    import pathlib
+
+    p = pathlib.Path(__file__).parent.parent / "data" / "public_suffix_list.dat"
+    exact, wild, exc = set(), set(), set()
+    for line in p.read_text(encoding="utf-8").splitlines():
+        line = line.strip()
+        if not line or line.startswith("//"):
+            continue
+        if line.startswith("!"):
+            exc.add(line[1:])
+        elif line.startswith("*."):
+            wild.add(line[2:])
+        else:
+            exact.add(line)
+    return frozenset(exact), frozenset(wild), frozenset(exc)
+
+
+def registrable_domain_psl(h: Column) -> Column:
+    """Exact registrable domain per the Public Suffix List algorithm
+    (publicsuffix.org/list): longest matching rule wins, ``*`` matches
+    one label, exception rules prevail and shed their leftmost label;
+    unlisted TLDs take the implicit ``*`` rule (suffix = last label —
+    identical to the heuristic's last-two answer, so .com/.test
+    bucketing is unchanged). A host that IS a public suffix comes back
+    unchanged (same contract as the heuristic's single-label case).
+    Arrow-batched pandas UDF over the vendored snapshot — hash-set
+    lookups against at most 6 candidate suffixes per host, no per-row
+    Python UDF."""
+    from pyspark.sql import types as T
+
+    exact, wild, exc = load_public_suffix_rules()
+
+    @F.pandas_udf(T.StringType())
+    def _reg(hosts: pd.Series) -> pd.Series:
+        def one(host):
+            if host is None:
+                return None
+            labels = host.split(".")
+            low = host.lower().split(".")
+            n = len(labels)
+            ps = 1
+            hit = False
+            for k in range(min(6, n), 1, -1):  # exception rules prevail
+                if ".".join(low[n - k :]) in exc:
+                    ps, hit = k - 1, True
+                    break
+            if not hit:
+                for k in range(min(5, n), 0, -1):  # longest rule wins
+                    if ".".join(low[n - k :]) in exact or (
+                        k >= 2 and ".".join(low[n - k + 1 :]) in wild
+                    ):
+                        ps = k
+                        break
+            if n <= ps:  # the host is itself a (or shorter than a) suffix
+                return host
+            return ".".join(labels[n - ps - 1 :])
+
+        return hosts.map(one)
+
+    return _reg(h)
 
 
 def domain_bucket(domain: Column, n_buckets: int) -> Column:

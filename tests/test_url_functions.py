@@ -174,6 +174,59 @@ def test_registrable_domain_and_bucket(spark):
         assert 0 <= got[h][1] < 64
 
 
+def test_registrable_domain_psl(spark):
+    """Exact PSL semantics over the vendored snapshot: multi-label
+    suffixes the heuristic mis-buckets, wildcard rules, exception
+    rules — and .com/.test traffic identical to the heuristic (salted
+    bucketing for mainstream traffic must not move)."""
+    cases = [
+        # heuristic-identical mainstream traffic
+        ("shop.example.com", "example.com"),
+        ("a.b.co.uk", "b.co.uk"),
+        ("example.com", "example.com"),
+        ("localhost", "localhost"),
+        ("site3.test", "site3.test"),
+        # multi-label suffixes the heuristic gets wrong
+        ("foo.bar.nsw.au", "bar.nsw.au"),
+        ("shop.web.or.jp", "web.or.jp"),
+        ("user.github.io", "user.github.io"),
+        ("deep.user.github.io", "user.github.io"),
+        # wildcard rule *.kawasaki.jp
+        ("a.b.kawasaki.jp", "a.b.kawasaki.jp"),
+        ("x.a.b.kawasaki.jp", "a.b.kawasaki.jp"),
+        # exception rule !city.kawasaki.jp
+        ("city.kawasaki.jp", "city.kawasaki.jp"),
+        ("sub.city.kawasaki.jp", "city.kawasaki.jp"),
+        # a bare public suffix comes back unchanged
+        ("co.uk", "co.uk"),
+        ("github.io", "github.io"),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], "h string")
+    got = {
+        r["h"]: r["rd"]
+        for r in df.select(
+            "h", U.registrable_domain_psl(F.col("h")).alias("rd")
+        ).collect()
+    }
+    for h, rd in cases:
+        assert got[h] == rd, (h, got[h])
+    # parity corpus: on com/net/org/test hosts the heuristic and the
+    # PSL agree — mainstream bucketing is unchanged by switching
+    mainstream = [
+        f"{a}.{b}.{tld}"
+        for a in ("shop", "a", "www")
+        for b in ("example", "site1", "acme")
+        for tld in ("com", "net", "org", "test")
+    ]
+    mdf = spark.createDataFrame([(h,) for h in mainstream], "h string")
+    pairs = mdf.select(
+        U.registrable_domain(F.col("h")).alias("heur"),
+        U.registrable_domain_psl(F.col("h")).alias("psl"),
+    ).collect()
+    for r in pairs:
+        assert r["heur"] == r["psl"], r
+
+
 def test_canonicalize_full(spark):
     from kryptone_spark.config import DEFAULT_TRACKING_PARAMS
 
