@@ -1,0 +1,139 @@
+"""IcebergTableIO — the deploy-mode binding of the TableIO contract.
+
+The north rule stores engine state in Iceberg tables; this sandbox
+ships no Iceberg runtime jars (verified SURVEY.md §4.2.6), so
+``plans/tableio.py`` implements the contract over partitioned parquet
+and THIS module is the 1:1 adapter a real cluster swaps in:
+
+    spark-submit --packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<v> \\
+      --conf spark.sql.catalog.crawl=org.apache.iceberg.spark.SparkCatalog \\
+      --conf spark.sql.catalog.crawl.type=hadoop \\
+      --conf spark.sql.catalog.crawl.warehouse=s3://bucket/warehouse ...
+    io = IcebergTableIO(spark, catalog="crawl", namespace="crawler")
+    WaveRunner(spark, config, docs, io).run()
+
+Contract mapping (each method mirrors tableio.TableIO exactly — the
+contract tests run both against the same mock transcript):
+
+- ``write_wave``  → atomic ``overwrite(wave == k)`` via the V2 writer
+  (one snapshot commit replaces exactly wave k — the parquet twin's
+  rewrite-one-subdirectory, but transactional). First write creates
+  the table ``USING iceberg PARTITIONED BY (wave[, domain_bucket])``.
+- ``committed_waves`` → the ``<table>.partitions`` metadata table:
+  Iceberg commits are atomic, so a wave partition is visible iff its
+  write committed — the manifest IS the _SUCCESS marker.
+- ``read`` / ``read_wave`` → catalog scans; the wave predicate prunes
+  by partition through the manifests.
+- ``compact`` → ``rewrite_data_files`` (binpack) — Iceberg's own
+  generational small-file fold; ``full=True`` adds
+  ``expire_snapshots`` to drop superseded manifests.
+- ``drop_waves_after`` → ``DELETE FROM ... WHERE wave > k`` (an atomic
+  metadata-only delete on a partition boundary).
+- ``folded_waves`` → always empty: Iceberg has no dir-vs-snapshot
+  split, every committed row is in the current snapshot.
+
+Unlike the parquet twin there is no crash-window protocol to hand-roll
+— every mutation above is a single snapshot-pointer swap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class IcebergTableIO:
+    def __init__(
+        self,
+        spark: SparkSession,
+        catalog: str,
+        namespace: str = "crawler",
+        prefix: str = "",
+    ):
+        self.spark = spark
+        self.catalog = catalog
+        self.namespace = namespace
+        self.prefix = prefix
+        self.spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {catalog}.{namespace}")
+
+    # -- naming -----------------------------------------------------------
+    def _t(self, name: str) -> str:
+        return f"{self.catalog}.{self.namespace}.{self.prefix}{name}"
+
+    def _exists(self, name: str) -> bool:
+        return self.spark.catalog.tableExists(self._t(name))
+
+    # -- contract ----------------------------------------------------------
+    def write_wave(self, name: str, df: DataFrame, wave: int) -> None:
+        """Idempotent per-wave commit: one atomic snapshot replaces
+        exactly the rows of wave k (a crashed earlier attempt included
+        — there is no partial-partition residue to heal, unlike dynamic
+        ``overwritePartitions`` which only replaces the buckets the new
+        attempt happens to touch)."""
+        if "wave" in df.columns:
+            df = df.drop("wave")
+        df = df.withColumn("wave", F.lit(int(wave)).cast("int"))
+        t = self._t(name)
+        if not self._exists(name):
+            parts = [F.col("wave")]
+            if "domain_bucket" in df.columns:
+                parts.append(F.col("domain_bucket"))
+            df.writeTo(t).using("iceberg").partitionedBy(*parts).create()
+        else:
+            df.writeTo(t).overwrite(F.col("wave") == int(wave))
+
+    def read(self, name: str, schema=None) -> DataFrame | None:
+        """Current-snapshot scan. ``schema`` is accepted for signature
+        parity but ignored — an Iceberg table is self-describing (the
+        parquet twin needs it only for empty-dir reads)."""
+        if not self._exists(name):
+            return None
+        return self.spark.table(self._t(name))
+
+    def read_wave(self, name: str, wave: int) -> DataFrame | None:
+        df = self.read(name)
+        if df is None:
+            return None
+        return df.where(F.col("wave") == int(wave))
+
+    def committed_waves(self, name: str) -> list[int]:
+        """Atomic commits make the partitions metadata table the
+        committed set — O(#partitions) metadata rows through the
+        driver, the same order as the parquet twin's directory glob."""
+        if not self._exists(name):
+            return []
+        rows = self.spark.sql(
+            f"SELECT DISTINCT partition.wave AS wave FROM {self._t(name)}.partitions"
+        ).collect()
+        return sorted(int(r["wave"]) for r in rows)
+
+    def folded_waves(self, name: str) -> list[int]:
+        """No dir-vs-snapshot split in Iceberg: every committed row is
+        in the current snapshot, nothing is ever 'folded but live'."""
+        return []
+
+    def compact(self, name: str, full: bool = False) -> int:
+        """Small-file fold via Iceberg's own maintenance procedures.
+        Returns 0: rewrite_data_files reshapes files, it never changes
+        which waves are committed (the parquet twin's return counts
+        folded wave DIRS, a concept Iceberg doesn't have)."""
+        if not self._exists(name):
+            return 0
+        tbl = f"{self.namespace}.{self.prefix}{name}"
+        self.spark.sql(
+            f"CALL {self.catalog}.system.rewrite_data_files"
+            f"(table => '{tbl}', strategy => 'binpack')"
+        )
+        if full:
+            self.spark.sql(
+                f"CALL {self.catalog}.system.expire_snapshots"
+                f"(table => '{tbl}', retain_last => 1)"
+            )
+        return 0
+
+    def drop_waves_after(self, name: str, wave: int) -> None:
+        """Rollback: an atomic, partition-boundary DELETE (metadata-only
+        in Iceberg — manifests drop whole wave partitions)."""
+        if not self._exists(name):
+            return
+        self.spark.sql(f"DELETE FROM {self._t(name)} WHERE wave > {int(wave)}")
