@@ -512,7 +512,11 @@ def q_docs_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kryptone_spark.operators import dedup
 
-    return dedup.simhash64(_load(spark, sf_dir, "documents"), bits=16)
+    # production dispatch (auto = the shuffle-free numpy path, measured
+    # faster at every size); the oracle below is the explode form's SQL
+    # twin — the two engines are signature-identical by pinned test, so
+    # this query value-checks the np path against the explode math
+    return dedup.simhash(_load(spark, sf_dir, "documents"), bits=16)
 
 
 def q_docs_langid(spark: SparkSession, sf_dir: str) -> DataFrame:

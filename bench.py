@@ -221,6 +221,32 @@ def timed_entry_query(spark, sf_dir: str, name: str, iters: int = 3) -> dict:
     return {"sec": best, "cold_sec": cold, "rows": q(spark, sf_dir).count()}
 
 
+def bench_simhash_paths(spark, sf_dir: str) -> dict[str, dict]:
+    """The two signature-identical SimHash engines side by side — the
+    evidence behind simhash()'s np-always dispatch (operators/dedup.py):
+    the explode form's |tokens|·bits shuffle loses at every size."""
+    from kryptone_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = {}
+    for key, engine in (("simhash_np", "np"), ("simhash_explode", "explode")):
+        run = lambda: dedup.simhash(docs, bits=16, engine=engine).write.mode(
+            "overwrite").format("noop").save()
+        t = time.time()
+        run()
+        cold = time.time() - t
+        best = float("inf")
+        for _ in range(3):
+            t = time.time()
+            run()
+            best = min(best, time.time() - t)
+        out[key] = {
+            "sec": best, "cold_sec": cold,
+            "rows": dedup.simhash(docs, bits=16, engine=engine).count(),
+        }
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -244,6 +270,7 @@ def main() -> None:
         "docs_quality", "docs_wordfreq_topk",
     ):
         results[name] = timed_entry_query(spark, sf_dir, name)
+    results.update(bench_simhash_paths(spark, sf_dir))
 
     total = sum(r["sec"] for r in results.values())
     out = {

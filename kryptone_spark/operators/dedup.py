@@ -541,6 +541,31 @@ def simhash64_np(df: DataFrame, text_col: str = "text", bits: int = 16) -> DataF
     return df.select("doc_id", _sig(F.col(text_col)).alias("simhash"))
 
 
+def simhash(
+    df: DataFrame, text_col: str = "text", bits: int = 16, engine: str = "auto"
+) -> DataFrame:
+    """SimHash dispatch — the production entry point. Both engines
+    produce IDENTICAL signatures (pinned by
+    ``test_simhash_np_matches_explode``); the choice is purely a plan
+    shape: ``explode`` (simhash64) is whole-stage-codegen but shuffles
+    |tokens|·bits contribution rows through a (doc_id, j) exchange,
+    ``np`` (simhash64_np) is shuffle-free Arrow popcount math. A size
+    gate was considered and MEASURED OUT: steady-state best-of-3 at
+    sf0.001 reads explode 0.56s vs np 0.27s and at sf0.1 explode 1.75s
+    vs np 0.56s (cold 12.0 vs 2.6 — the explode plan is also the
+    bigger Janino compile) — there is no size regime where the explode
+    shuffle wins, so ``auto`` = np at every size. The explode form
+    stays as the SQL-reproducible twin (it IS the DuckDB oracle's
+    formulation) and for plans that must stay Python-worker-free."""
+    if engine == "auto":
+        engine = "np"
+    if engine == "np":
+        return simhash64_np(df, text_col, bits)
+    if engine == "explode":
+        return simhash64(df, text_col, bits)
+    raise ValueError(f"engine must be auto|np|explode, got {engine!r}")
+
+
 def _star_round(edges: DataFrame, large: bool) -> DataFrame:
     """One star-contraction step over a distinct (u, v) edge set with
     u > v. Treats the graph as undirected (symmetrizes), computes per

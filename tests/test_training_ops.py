@@ -178,6 +178,20 @@ def test_ngram_jaccard_shingle_df_cap(spark):
     assert set(capped) <= uncapped
 
 
+def test_simhash_dispatch(spark, corpus):
+    """simhash() routes auto→np (measured dominant at every size; see
+    operators/dedup.py), explode on request, and rejects junk. Routing
+    is observable in the plan: the np path evaluates a Python UDF, the
+    explode path stays JVM-only with a Generate node."""
+    auto_plan = dedup.simhash(corpus)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" in auto_plan and "Generate" not in auto_plan
+    exp_plan = dedup.simhash(corpus, engine="explode")._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Generate" in exp_plan and "Python" not in exp_plan
+    with pytest.raises(ValueError, match="engine"):
+        dedup.simhash(corpus, engine="fast")
+
+
 def test_simhash(corpus):
     rows = {r["doc_id"]: r["simhash"] for r in dedup.simhash64(corpus).collect()}
     assert rows[0] == rows[1] == rows[4]
