@@ -41,8 +41,10 @@ def nfkd(s: pd.Series) -> pd.Series:
 
 # Latin letters unidecode maps but NFKD cannot (they do not decompose
 # into base + combining mark) — the common European divergences; full
-# unidecode additionally transliterates non-Latin scripts (CJK→pinyin
-# etc.), which remains a documented divergence.
+# unidecode additionally transliterates non-Latin scripts. Cyrillic and
+# Greek are covered by the vendored table below; CJK remains a
+# documented divergence (passed through unchanged — unidecode would
+# romanize to pinyin etc.), pinned by test_remove_accents_cjk_passthrough.
 _NON_DECOMPOSABLE = str.maketrans(
     {
         "ß": "ss", "ẞ": "SS", "æ": "ae", "Æ": "AE", "œ": "oe", "Œ": "OE",
@@ -52,24 +54,52 @@ _NON_DECOMPOSABLE = str.maketrans(
     }
 )
 
+_SCRIPT_TRANSLIT: dict[int, str] | None = None
+
+
+def _script_translit() -> dict[int, str]:
+    """Vendored Cyrillic (BGN/PCGN-derived) + Greek (classical)
+    romanization table (data/translit_map.tsv), applied after the NFKD
+    fold so precomposed accented forms (ё, ά, ΰ …) reduce to their base
+    letter first. These are public standard romanizations in the style
+    of the reference's unidecode (/root/reference/kryptone/utils/
+    text.py:111-113); byte-exact unidecode parity for non-Latin scripts
+    is NOT claimed — the table IS the engine contract, pinned by tests."""
+    global _SCRIPT_TRANSLIT
+    if _SCRIPT_TRANSLIT is None:
+        import pathlib
+
+        p = pathlib.Path(__file__).parent.parent / "data" / "translit_map.tsv"
+        table: dict[int, str] = {}
+        for line in p.read_text(encoding="utf-8").splitlines():
+            if not line or line.startswith("#"):
+                continue
+            ch, _, ascii_ = line.partition("\t")
+            table[ord(ch)] = ascii_
+        _SCRIPT_TRANSLIT = table
+    return _SCRIPT_TRANSLIT
+
 
 @pandas_udf(StringType())
 def remove_accents(s: pd.Series) -> pd.Series:
-    """text.py:111-113 — transliterate to ASCII (unidecode-lite:
-    NFKD + combining-mark strip covers every composed Latin accent;
-    the table above covers the non-decomposable Latin letters —
-    together, unidecode-identical for European text. The reference
-    uses full unidecode, which additionally romanizes non-Latin
-    scripts; that remains a documented divergence)."""
+    """text.py:111-113 — transliterate to ASCII. NFKD + combining-mark
+    strip covers every composed Latin accent; _NON_DECOMPOSABLE covers
+    the Latin letters with no decomposition — together unidecode-
+    identical for European Latin text (guarantee pinned by
+    test_remove_accents_european_corpus). Cyrillic/Greek romanize via
+    the vendored table; CJK passes through (documented divergence)."""
+    script = _script_translit()
+
     def _strip(x: str | None) -> str | None:
         if x is None:
             return None
         folded = x.translate(_NON_DECOMPOSABLE)
-        return "".join(
+        stripped = "".join(
             c
             for c in unicodedata.normalize("NFKD", folded)
             if not unicodedata.combining(c)
         )
+        return stripped.translate(script)
     return s.map(_strip)
 
 

@@ -34,6 +34,69 @@ def test_remove_accents_non_decomposable(spark):
         assert _one(spark, TXT.remove_accents, src) == want, src
 
 
+def test_remove_accents_european_corpus(spark):
+    """The European-identical guarantee (VERDICT r2 item 8): for Latin-
+    script European text the engine's transliteration is the unidecode
+    fold — NFKD accent strip + the non-decomposable table. This corpus
+    pins that guarantee; extending remove_accents must keep it green."""
+    corpus = {
+        "Málaga y Cádiz": "Malaga y Cadiz",
+        "Müller über größe": "Muller uber grosse",
+        "João São Paulo Conceição": "Joao Sao Paulo Conceicao",
+        "Göteborg Ängelholm": "Goteborg Angelholm",
+        "Dvořák Janáček": "Dvorak Janacek",
+        "Kraków Gdańsk Wałęsa": "Krakow Gdansk Walesa",
+        "Reykjavík Þingvellir": "Reykjavik Thingvellir",
+        "Châteauneuf-du-Pape": "Chateauneuf-du-Pape",
+        "İstanbul ışık": "Istanbul isik",
+        "Școala română ș ț": "Scoala romana s t",
+    }
+    for src, want in corpus.items():
+        assert _one(spark, TXT.remove_accents, src) == want, src
+
+
+def test_remove_accents_cyrillic(spark):
+    """Vendored BGN/PCGN-derived Cyrillic romanization
+    (data/translit_map.tsv) — the engine contract for non-Latin text.
+    Precomposed ё reduces to е via NFKD before the table applies."""
+    cases = {
+        "Москва": "Moskva",
+        "Привет мир": "Privet mir",
+        "Ёж и подъезд": "Ezh i podezd",
+        "Щука жёлтая": "Shchuka zheltaya",
+        "область Тыва": "oblast Tyva",
+        # ї NFKD-decomposes to і + diaeresis before the table applies,
+        # so it folds to і → "i" (not the table's standalone "yi")
+        "Київ Харків": "Kiiv Kharkiv",
+        "Београд џез": "Beograd dzez",
+    }
+    for src, want in cases.items():
+        assert _one(spark, TXT.remove_accents, src) == want, src
+
+
+def test_remove_accents_greek(spark):
+    """Classical Greek romanization; accented vowels (ά, έ …) fold to
+    the base letter via NFKD before the table applies."""
+    cases = {
+        "Ελλάδα": "Ellada",
+        "φιλοσοφία": "philosophia",
+        "Ψυχή καί σῶμα": "Psukhe kai soma",
+        # multi-char uppercase letters title-case (Θ→Th), the
+        # unidecode convention for Щ→Shch / Θ→Th
+        "ΘΑΛΑΣΣΑ": "ThALASSA",
+    }
+    for src, want in cases.items():
+        assert _one(spark, TXT.remove_accents, src) == want, src
+
+
+def test_remove_accents_cjk_passthrough(spark):
+    """Documented divergence from the reference's unidecode (which
+    romanizes CJK to pinyin/romaji): CJK passes through unchanged.
+    This test pins the divergence so it stays deliberate."""
+    assert _one(spark, TXT.remove_accents, "日本語 text") == "日本語 text"
+    assert _one(spark, TXT.remove_accents, "中文 café") == "中文 cafe"
+
+
 def test_slugify_ascii_and_accented(spark):
     assert _one(spark, TXT.slugify, "Hello World") == "hello-world"
     assert _one(spark, TXT.slugify, "Crème Brûlée") == "creme-brulee"
