@@ -93,9 +93,12 @@ def export_cache_json(io: TableIO, path: str, max_rows: int = 1_000_000) -> None
 
 def performance_summary(io: TableIO) -> dict:
     """performance.json counters (base.py:199-250, 776-796): iteration
-    count, frontier/visited sizes, completion ratio (the documented
-    `visited/total` formula — the reference has two inconsistent ones,
-    SURVEY.md A2)."""
+    count, frontier/visited sizes, completion ratios. The reference has
+    TWO mutually inconsistent completion formulas — base.py:355
+    (visited / pending, can exceed 1) and urls.py:829 (pending / visited
+    rounded to 2, 0 on division by zero); both are emitted verbatim for
+    parity, plus the engine's sane percent-of-total as the headline
+    `completion_percentage` (SURVEY.md A2)."""
     visited = io.read("visited")
     frontier = io.read("frontier")
     lineage = io.read("lineage")
@@ -118,6 +121,13 @@ def performance_summary(io: TableIO) -> dict:
         "count_urls_to_visit": n_pending,
         "count_visited_urls": n_visited,
         "completion_percentage": round(100.0 * n_visited / total, 3) if total else 0.0,
+        # reference-parity twins (both formulas, verbatim semantics)
+        "completion_visited_over_pending": (
+            n_visited / n_pending if n_pending else 0.0  # base.py:355
+        ),
+        "completion_rate": (
+            round(n_pending / n_visited, 2) if n_visited else 0.0  # urls.py:829
+        ),
     }
 
 

@@ -97,6 +97,38 @@ def test_export_cache_json_and_performance(spark, crawled_io, tmp_path):
     perf = exports.performance_summary(crawled_io)
     assert perf["completion_percentage"] == 100.0
     assert perf["count_visited_urls"] == len(cache["visited_urls"])
+    # reference-parity twins: crawl ran to completion, so pending == 0 —
+    # base.py:355 (visited/pending) guards div-by-zero to 0.0 and
+    # urls.py:829 (pending/visited) is exactly 0.0
+    assert perf["completion_visited_over_pending"] == 0.0
+    assert perf["completion_rate"] == 0.0
+
+
+def test_performance_summary_reference_formulas_mid_crawl(spark, tmp_path):
+    """Nonzero pin of the reference's two inconsistent completion
+    formulas over a mid-crawl state: 2 visited, 4 pending (of 5
+    frontier rows, 1 already visited)."""
+    from kryptone_spark.plans.tableio import TableIO
+
+    io = TableIO(spark, str(tmp_path / "t"))
+    io.write_wave(
+        "visited",
+        spark.createDataFrame([("http://a.test/",), ("http://b.test/",)], "url string"),
+        wave=0,
+    )
+    io.write_wave(
+        "frontier",
+        spark.createDataFrame(
+            [(f"http://{h}.test/",) for h in "bcdef"], "url string"
+        ),
+        wave=0,
+    )
+    perf = exports.performance_summary(io)
+    assert perf["count_visited_urls"] == 2
+    assert perf["count_urls_to_visit"] == 4
+    assert perf["completion_percentage"] == round(100.0 * 2 / 6, 3)
+    assert perf["completion_visited_over_pending"] == 2 / 4  # base.py:355
+    assert perf["completion_rate"] == 2.0  # urls.py:829: round(4/2, 2)
 
 
 def test_webhook_sink_chunks(spark):
