@@ -213,6 +213,33 @@ def q_url_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_file_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13 filename/directory derivation (functions/files.py, re-
+    expressing utils/functions.py:12-79) over a deterministic
+    path+breadcrumb corpus from part: media directory from the URL path
+    (exclude 'shop', punctuation stripped keep '_', '-'→'_', last
+    segment dropped), directory from the breadcrumb trail (all
+    punctuation stripped, spaces→'_'), and the deterministic
+    md5-derived twin of create_filename."""
+    from kryptone_spark.functions import files as FF
+
+    p = _load(spark, sf_dir, "part")
+    key = F.col("p_partkey").cast("string")
+    path = F.concat(
+        F.lit("/shop/"), F.col("p_brand"), F.lit("/"), F.col("p_type"),
+        F.lit("/item-"), key, F.lit(".html"),
+    )
+    crumbs = F.concat_ws(
+        " > ", F.col("p_brand"), F.col("p_type"), F.col("p_name")
+    )
+    return p.select(
+        F.col("p_partkey").alias("k"),
+        FF.directory_from_url(path, exclude=("shop",)).alias("dir_url"),
+        FF.directory_from_breadcrumbs(crumbs).alias("dir_crumbs"),
+        FF.derived_filename(F.col("p_partkey"), 8, extension="jpg").alias("fname"),
+    )
+
+
 def q_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A-family flagship agg (TPC-H Q1 shape) with exact decimal sums."""
     li = _load(spark, sf_dir, "lineitem")
@@ -1819,6 +1846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seen_antijoin": q_seen_antijoin,
         "url_pagination": q_url_pagination,
         "url_decompose": q_url_decompose,
+        "file_paths": q_file_paths,
         "lineitem_pricing": q_lineitem_pricing,
         "top_revenue_orders": q_top_revenue_orders,
         "events_by_type": q_events_by_type,
@@ -2085,6 +2113,42 @@ def oracle_sql() -> dict[str, str]:
                      ELSE 'product-' || k
                    END AS seg1
             FROM urls
+        """,
+        # punctuation delete-sets are string.punctuation verbatim
+        # (minus '_' for dir_url, matching functions.py:57 keep=['_'])
+        "file_paths": """
+            WITH p AS (
+              SELECT p_partkey AS k,
+                     '/shop/' || p_brand || '/' || p_type || '/item-'
+                       || p_partkey || '.html' AS path,
+                     p_brand || ' > ' || p_type || ' > ' || p_name AS crumbs
+              FROM part
+            ), toks AS (
+              SELECT k,
+                     list_filter(string_split(path, '/'),
+                                 t -> t <> '' AND t <> 'shop') AS segs,
+                     string_split(
+                       trim(regexp_replace(lower(crumbs), ' +', ' ', 'g')),
+                       '>') AS ctoks
+              FROM p
+            )
+            SELECT k,
+                   array_to_string(
+                     list_transform(
+                       list_slice(segs, 1, len(segs) - 1),
+                       t -> translate(lower(replace(t, '-', '_')),
+                              '!"#$%&''()*+,-./:;<=>?@[\\]^`{|}~', '')),
+                     '/') AS dir_url,
+                   array_to_string(
+                     list_transform(
+                       list_slice(ctoks, 1, len(ctoks) - 1),
+                       t -> replace(
+                              translate(trim(t),
+                                '!"#$%&''()*+,-./:;<=>?@[\\]^_`{|}~', ''),
+                              ' ', '_')),
+                     '/') AS dir_crumbs,
+                   substring(md5(k::VARCHAR), 1, 8) || '.jpg' AS fname
+            FROM toks
         """,
         "lineitem_pricing": """
             SELECT l_returnflag, l_linestatus,
