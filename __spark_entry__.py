@@ -1352,6 +1352,39 @@ def q_sitemap_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seeds.sitemap_seeds(raw)
 
 
+def q_sitemap_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sitemaps.org recrawl hints (sources/seeds.py:sitemap_entries):
+    urlset bodies synthesized from part — entry 1 carries
+    lastmod/changefreq/priority (changefreq cycles through all seven
+    protocol values), entry 2 is loc-only so every hint column
+    exercises its NULL path. changefreq maps to interval_hint_s."""
+    from kryptone_spark.sources import seeds
+
+    p = _load(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    ks = k.cast("string")
+    cf = F.element_at(
+        F.lit(["always", "hourly", "daily", "weekly", "monthly", "yearly", "never"]),
+        (k % 7).cast("int") + 1,
+    )
+    xml = F.concat(
+        F.lit("<urlset><url><loc> https://shop.test/p"), ks,
+        F.lit(" </loc><lastmod>2024-03-"),
+        F.lpad(((k % 28) + 1).cast("string"), 2, "0"),
+        F.lit("</lastmod><changefreq>"), cf,
+        F.lit("</changefreq><priority>0."), (k % 10).cast("string"),
+        F.lit("</priority></url><url><loc>https://shop.test/q"), ks,
+        F.lit("</loc></url></urlset>"),
+    )
+    raw = p.select(
+        F.concat(F.lit("https://shop.test/sm"), ks, F.lit(".xml")).alias(
+            "sitemap_url"
+        ),
+        xml.alias("xml"),
+    )
+    return seeds.sitemap_entries(raw)
+
+
 def q_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Columnar robots.txt parsing: raw bodies synthesized from nation
     rows (three shapes: a '*' section with rules + crawl-delay, a
@@ -1906,6 +1939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": q_url_canonicalize,
         "route_dispatch": q_route_dispatch,
         "sitemap_seeds": q_sitemap_seeds,
+        "sitemap_entries": q_sitemap_entries,
         "warc_roundtrip": q_warc_roundtrip,
         "robots_parse": q_robots_parse,
         "robots_join": q_robots_join,
@@ -3292,6 +3326,42 @@ def oracle_sql() -> dict[str, str]:
                      ELSE 'other'
                    END AS route
             FROM urls
+        """,
+        "sitemap_entries": """
+            WITH p AS (
+              SELECT 'https://shop.test/sm' || p_partkey || '.xml' AS sitemap_url,
+                     '<urlset><url><loc> https://shop.test/p' || p_partkey
+                     || ' </loc><lastmod>2024-03-'
+                     || lpad(((p_partkey % 28) + 1)::VARCHAR, 2, '0')
+                     || '</lastmod><changefreq>'
+                     || (['always','hourly','daily','weekly','monthly',
+                          'yearly','never'])[(p_partkey % 7)::INT + 1]
+                     || '</changefreq><priority>0.' || (p_partkey % 10)
+                     || '</priority></url><url><loc>https://shop.test/q'
+                     || p_partkey || '</loc></url></urlset>' AS xml
+              FROM part
+            ), e AS (
+              SELECT sitemap_url,
+                     unnest(regexp_extract_all(xml, '(?s)<url>(.*?)</url>', 1)) AS entry
+              FROM p
+            ), x AS (
+              SELECT sitemap_url,
+                     regexp_extract(entry, '(?s)<loc>\\s*(.*?)\\s*</loc>', 1) AS url,
+                     nullif(regexp_extract(entry,
+                       '(?s)<lastmod>\\s*(.*?)\\s*</lastmod>', 1), '') AS lastmod,
+                     nullif(lower(regexp_extract(entry,
+                       '(?s)<changefreq>\\s*(.*?)\\s*</changefreq>', 1)), '') AS changefreq,
+                     try_cast(nullif(regexp_extract(entry,
+                       '(?s)<priority>\\s*(.*?)\\s*</priority>', 1), '') AS DOUBLE) AS priority
+              FROM e
+            )
+            SELECT sitemap_url, url, lastmod, changefreq, priority,
+                   (CASE changefreq
+                      WHEN 'always' THEN 300 WHEN 'hourly' THEN 3600
+                      WHEN 'daily' THEN 86400 WHEN 'weekly' THEN 604800
+                      WHEN 'monthly' THEN 2592000 WHEN 'yearly' THEN 31536000
+                    END)::BIGINT AS interval_hint_s
+            FROM x WHERE url <> ''
         """,
         "warc_roundtrip": """
             -- the WARC archive is synthesized from documents with

@@ -85,6 +85,61 @@ def pagination_generator(
     )
 
 
+# sitemaps.org changefreq → revisit-interval hint (seconds). 'never'
+# and absent changefreq yield NULL: no standards-based revisit hint —
+# the adaptive recrawl_schedule (operators/schedule.py) takes over.
+CHANGEFREQ_SECONDS = (
+    ("always", 300),
+    ("hourly", 3600),
+    ("daily", 86400),
+    ("weekly", 604800),
+    ("monthly", 2592000),
+    ("yearly", 31536000),
+)
+
+
+def sitemap_entries(
+    sitemaps: DataFrame, xml_col: str = "xml", url_col: str = "sitemap_url"
+) -> DataFrame:
+    """Full ``<urlset>`` entry extraction — ``sitemap_seeds`` keeps the
+    loc-only seed contract; this reads the optional per-URL recrawl
+    hints the sitemaps.org protocol defines (``<lastmod>``,
+    ``<changefreq>``, ``<priority>``) and maps changefreq to an
+    ``interval_hint_s`` so the output plugs into the same
+    ``next_fetch_us`` contract as the adaptive ``recrawl_schedule``
+    (standards-based prior where history is empty, history-driven
+    estimate once fetches accumulate).
+
+    Pure regexp projection + one explode, exactly like sitemap_seeds:
+    ``(?s)`` dotall group extraction only (RE2-portable — a DuckDB
+    oracle states it identically). Missing hints are NULL; priority is
+    try_cast so a malformed value degrades to NULL, never a failed
+    stage (ANSI)."""
+    entries = F.regexp_extract_all(
+        F.col(xml_col), F.lit(r"(?s)<url>(.*?)</url>"), F.lit(1)
+    )
+    e = F.col("entry")
+    tag = lambda name: F.regexp_extract(e, rf"(?s)<{name}>\s*(.*?)\s*</{name}>", 1)
+    cf = F.nullif(F.lower(tag("changefreq")), F.lit(""))
+    interval = F.lit(None).cast("long")
+    for name, secs in reversed(CHANGEFREQ_SECONDS):
+        interval = F.when(cf == name, F.lit(secs)).otherwise(interval)
+    return (
+        sitemaps.select(
+            F.col(url_col).alias("sitemap_url"), F.explode(entries).alias("entry")
+        )
+        .select(
+            "sitemap_url",
+            tag("loc").alias("url"),
+            F.nullif(tag("lastmod"), F.lit("")).alias("lastmod"),
+            cf.alias("changefreq"),
+            F.nullif(tag("priority"), F.lit("")).try_cast("double").alias("priority"),
+            interval.alias("interval_hint_s"),
+        )
+        .where(F.col("url") != "")
+    )
+
+
 def sitemap_seeds(
     sitemaps: DataFrame, xml_col: str = "xml", url_col: str = "sitemap_url"
 ) -> DataFrame:

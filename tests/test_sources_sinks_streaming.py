@@ -308,6 +308,34 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     assert sorted(urls) == ["http://a.test/1", "http://a.test/2", "http://b.test/1"]
 
 
+def test_sitemap_entries_recrawl_hints(spark):
+    """sitemaps.org per-URL hints: lastmod/changefreq/priority extracted
+    with whitespace trim and newline-spanning entries; changefreq maps
+    to interval_hint_s ('never' and absent → NULL — the adaptive
+    recrawl_schedule takes over); malformed priority degrades to NULL."""
+    from kryptone_spark.sources import seeds
+
+    rows = [
+        ("https://a.test/sitemap.xml",
+         "<urlset>\n<url>\n<loc> https://a.test/1 </loc>\n"
+         "<lastmod>2024-02-03</lastmod>\n<changefreq>Daily</changefreq>\n"
+         "<priority>0.8</priority>\n</url>\n"
+         "<url><loc>https://a.test/2</loc><changefreq>never</changefreq>"
+         "<priority>high</priority></url>"
+         "<url><loc>https://a.test/3</loc></url>\n</urlset>"),
+    ]
+    df = spark.createDataFrame(rows, "sitemap_url string, xml string")
+    got = {
+        r["url"]: (r["lastmod"], r["changefreq"], r["priority"], r["interval_hint_s"])
+        for r in seeds.sitemap_entries(df).collect()
+    }
+    assert got == {
+        "https://a.test/1": ("2024-02-03", "daily", 0.8, 86400),
+        "https://a.test/2": (None, "never", None, None),
+        "https://a.test/3": (None, None, None, None),
+    }
+
+
 def test_sitemap_seeds(spark):
     """Sitemap XML → seed rows: urlset locs (whitespace-trimmed),
     sitemapindex rows flagged kind='sitemap', empty locs dropped."""
