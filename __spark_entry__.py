@@ -1098,10 +1098,12 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-rule URL canonicalizer (functions/urls.py:canonicalize_full,
     SURVEY §2.2 note — STRONGER than the reference, which drops
     fragment URLs instead of stripping, urls.py:474-492): lowercase
-    scheme+host, strip fragment, strip tracking params, normalize the
-    trailing slash on non-root paths. Corpus exercises every rule:
-    uppercase scheme/host, trailing slashes, mixed tracking+real
-    params, all-tracking queries, root paths, fragments."""
+    scheme+host, strip fragment, elide the scheme-default port (RFC
+    3986 §6.2.3), strip tracking params, normalize the trailing slash
+    on non-root paths. Corpus exercises every rule: uppercase
+    scheme/host, ':443' under https, trailing slashes, mixed
+    tracking+real params, all-tracking queries, root paths,
+    fragments."""
     from kryptone_spark.config import DEFAULT_TRACKING_PARAMS
 
     orders = _load(spark, sf_dir, "orders")
@@ -1115,7 +1117,7 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(b == 1, F.concat(F.lit("https://"), dom, F.lit("/product-"), ks, F.lit("?utm_source=google&page=2")))
         .when(b == 2, F.concat(F.lit("https://"), dom, F.lit("/product-"), ks, F.lit("#reviews")))
         .when(b == 3, F.concat(F.lit("https://"), dom, F.lit("/p?gclid="), ks))
-        .when(b == 4, F.concat(F.lit("https://"), dom, F.lit("/")))
+        .when(b == 4, F.concat(F.lit("HTTPS://"), dom_mixed, F.lit(":443/")))
         .otherwise(F.concat(F.lit("https://"), dom, F.lit("/a/b?x=1&fbclid="), ks, F.lit("&y=2")))
     )
     from kryptone_spark.functions import urls as UU
@@ -2665,7 +2667,7 @@ def oracle_sql() -> dict[str, str]:
                        WHEN 1 THEN 'https://site' || (o_custkey % 7) || '.test/product-' || o_orderkey || '?utm_source=google&page=2'
                        WHEN 2 THEN 'https://site' || (o_custkey % 7) || '.test/product-' || o_orderkey || '#reviews'
                        WHEN 3 THEN 'https://site' || (o_custkey % 7) || '.test/p?gclid=' || o_orderkey
-                       WHEN 4 THEN 'https://site' || (o_custkey % 7) || '.test/'
+                       WHEN 4 THEN 'HTTPS://Site' || (o_custkey % 7) || '.Test:443/'
                        ELSE 'https://site' || (o_custkey % 7) || '.test/a/b?x=1&fbclid=' || o_orderkey || '&y=2'
                      END AS url
               FROM orders),
@@ -2678,7 +2680,10 @@ def oracle_sql() -> dict[str, str]:
                           THEN regexp_extract(url, '\\?([^#]*)', 1) ELSE '' END AS qry
               FROM curls),
             kept AS (
-              SELECT k, url, sch, hst,
+              SELECT k, url, sch,
+                     CASE WHEN sch = 'http' THEN regexp_replace(hst, ':80$', '')
+                          WHEN sch = 'https' THEN regexp_replace(hst, ':443$', '')
+                          ELSE hst END AS hst,
                      CASE WHEN pth = '/' THEN pth
                           ELSE regexp_replace(pth, '/$', '') END AS pnorm,
                      array_to_string(list_filter(string_split(qry, '&'),

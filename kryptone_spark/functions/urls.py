@@ -431,12 +431,19 @@ def domain_bucket(domain: Column, n_buckets: int) -> Column:
 
 def canonicalize_full(url: Column, tracking_params: tuple[str, ...]) -> Column:
     """North-rule canonicalizer: lowercase scheme+host, strip fragment,
-    strip tracking params, normalize trailing slash on non-root paths.
+    elide the scheme-default port (RFC 3986 §6.2.3 — ':80' under http,
+    ':443' under https; any other port is identity-preserved), strip
+    tracking params, normalize trailing slash on non-root paths.
     Parity mode (the default) bypasses this — the reference rejects
     fragment URLs instead of stripping them (SURVEY.md §2.2 note)."""
     base = strip_fragment(url)
     sch, nl, p, q = scheme(base), netloc(base), path(base), query(base)
     host_lc = F.lower(nl)
+    host_lc = (
+        F.when(sch == "http", F.regexp_replace(host_lc, ":80$", ""))
+        .when(sch == "https", F.regexp_replace(host_lc, ":443$", ""))
+        .otherwise(host_lc)
+    )
     p_norm = F.when(p == "/", p).otherwise(F.regexp_replace(p, "/$", ""))
     tracked = F.lit(list(tracking_params))
     q_kept = F.when(

@@ -236,6 +236,12 @@ def test_canonicalize_full(spark):
         ("https://a.test/", "https://a.test/"),
         ("https://a.test/x?gclid=123", "https://a.test/x"),
         ("https://a.test/x?a=1&b=2", "https://a.test/x?a=1&b=2"),
+        # RFC 3986 §6.2.3: default port elided, non-default preserved,
+        # cross-scheme defaults NOT elided (https on :80 stays)
+        ("http://A.test:80/p", "http://a.test/p"),
+        ("HTTPS://a.Test:443/", "https://a.test/"),
+        ("http://a.test:8080/p", "http://a.test:8080/p"),
+        ("https://a.test:80/p", "https://a.test:80/p"),
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], "u string")
     got = {

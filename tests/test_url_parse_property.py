@@ -159,6 +159,11 @@ def test_canonicalize_full_matches_python_reference(spark):
         "http://ex.com/p;params?utm_source=s&keep=1",
         "http://ex.com/p?utm_source=1&utm_source=2",
         "http://ex.com/p?&&a=1&fbclid=z",
+        "http://EX.com:80/p",
+        "https://ex.com:443/",
+        "http://ex.com:8080/p",
+        "https://ex.com:80/p",
+        "http://ex.com:8080/p?utm_source=x",
     ]
     tracked = set(DEFAULT_TRACKING_PARAMS)
 
@@ -171,7 +176,13 @@ def test_canonicalize_full_matches_python_reference(spark):
             q = "&".join(
                 kv for kv in q.split("&") if kv.split("=", 1)[0] not in tracked
             )
-        out = (p.scheme + "://" if p.scheme else "") + p.netloc.lower() + path
+        netloc = p.netloc.lower()
+        # RFC 3986 §6.2.3 default-port elision, scheme-conditional
+        if p.scheme == "http" and netloc.endswith(":80"):
+            netloc = netloc[:-3]
+        elif p.scheme == "https" and netloc.endswith(":443"):
+            netloc = netloc[:-4]
+        out = (p.scheme + "://" if p.scheme else "") + netloc + path
         if q:
             out += "?" + q
         return out
