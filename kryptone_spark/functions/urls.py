@@ -423,6 +423,34 @@ def registrable_domain_psl(h: Column) -> Column:
     return _reg(h)
 
 
+def idna_host(h: Column) -> Column:
+    """Fold an internationalized hostname to its DNS wire form
+    (IDNA/punycode, lowercase) so ``münchen.de`` and
+    ``xn--mnchen-3ya.de`` share one politeness bucket, one robots
+    fetch, and one seen-set identity — engine-only (the reference
+    compares raw urlparse netlocs). ASCII hosts (the overwhelming
+    majority of crawl traffic) stay on the codegen fast path — the
+    Arrow-batched codec UDF only decides the non-ASCII branch. A host
+    the codec rejects (empty/overlong label) falls back to plain
+    lowercase rather than failing the stage (ANSI posture: the
+    engine's 'caught' is the unnormalized value, never an error)."""
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.StringType())
+    def _fold(hosts: pd.Series) -> pd.Series:
+        def one(host):
+            if host is None:
+                return None
+            try:
+                return host.encode("idna").decode("ascii")
+            except (UnicodeError, ValueError):
+                return host.lower()
+
+        return hosts.map(one)
+
+    return F.when(h.rlike("^[\\x00-\\x7F]*$"), F.lower(h)).otherwise(_fold(h))
+
+
 def domain_bucket(domain: Column, n_buckets: int) -> Column:
     """W4 salted-hash partitioning: stable bucket for frontier/seen
     partition pruning and co-located anti-joins."""

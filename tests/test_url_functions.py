@@ -255,6 +255,27 @@ def test_canonicalize_full(spark):
         assert got[u] == expected, (u, got[u])
 
 
+def test_idna_host(spark):
+    """IDN hosts fold to the DNS wire form; ASCII stays on the
+    lowercase fast path; codec-rejected input degrades to lowercase."""
+    cases = [
+        ("münchen.de", "xn--mnchen-3ya.de"),
+        ("日本.jp", "xn--wgv71a.jp"),
+        ("Straße.de", "strasse.de"),  # IDNA2003 ß→ss mapping
+        ("Example.COM", "example.com"),
+        ("plain.test", "plain.test"),
+        ("ü" * 70 + ".test", ("ü" * 70 + ".test").lower()),  # overlong label
+        (None, None),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "h string")
+    got = {
+        r["h"]: r["o"]
+        for r in df.select("h", U.idna_host(F.col("h")).alias("o")).collect()
+    }
+    for h, want in cases:
+        assert got[h] == want, (h, got[h])
+
+
 def test_query_map(spark):
     """F10 parse_qs-lite (urls.py:307-311): query string → map,
     last value wins, empty keys dropped, no-query → NULL."""
