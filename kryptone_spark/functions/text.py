@@ -51,6 +51,11 @@ _NON_DECOMPOSABLE = str.maketrans(
         "ø": "o", "Ø": "O", "đ": "d", "Đ": "D", "ð": "d", "Ð": "D",
         "þ": "th", "Þ": "Th", "ł": "l", "Ł": "L", "ħ": "h", "Ħ": "H",
         "ı": "i", "ĸ": "k", "ŋ": "ng", "Ŋ": "NG", "ŧ": "t", "Ŧ": "T",
+        # decompose into a base + a NON-combining mark (middle dot /
+        # modifier apostrophe) that would survive the NFKD strip —
+        # handled here so the ASCII invariant holds (the invariant is
+        # pinned by test_remove_accents_ascii_invariant_for_covered_scripts)
+        "ŀ": "l", "Ŀ": "L", "ŉ": "'n",
     }
 )
 

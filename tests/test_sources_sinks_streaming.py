@@ -425,6 +425,41 @@ def test_warc_duplicate_headers_and_utf8_length(spark, tmp_path):
     assert raw.endswith(b"caf\xc3\xa9 \xc3\xbcber\r\n\r\n")  # two CRLFs
 
 
+def test_warc_split_records_fuzz():
+    """Seeded fuzz of the offset-seeking splitter (pure Python — no
+    Spark needed): random record sets with adversarial bodies (planted
+    record magic, CRLF runs, NULs, gzip magic, empty bodies) must
+    roundtrip exactly through BOTH framings — plain concatenation and
+    per-record gzip members."""
+    import gzip
+    import random
+
+    from kryptone_spark.sources.warc import _split_records
+
+    rng = random.Random(1729)
+    plants = [b"WARC/1.0\r\n", b"\r\n\r\n", b"\x00", b"\x1f\x8b", b"\r\nWARC/"]
+    for _ in range(50):
+        recs = []
+        for i in range(rng.randint(1, 8)):
+            body = bytearray(rng.randbytes(rng.randint(0, 200)))
+            for p in rng.sample(plants, rng.randint(0, len(plants))):
+                at = rng.randint(0, len(body))
+                body[at:at] = p
+            recs.append((f"http://f.test/{i}", bytes(body)))
+        frame = lambda u, b: (
+            f"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: {u}\r\n"
+            f"Content-Length: {len(b)}\r\n\r\n"
+        ).encode() + b + b"\r\n\r\n"
+        plain = b"".join(frame(u, b) for u, b in recs)
+        gz = b"".join(gzip.compress(frame(u, b)) for u, b in recs)
+        for blob in (plain, gz):
+            got = list(_split_records(blob))
+            assert len(got) == len(recs)
+            for (u, b), (hdr, body) in zip(recs, got):
+                assert f"WARC-Target-URI: {u}" in hdr
+                assert body == b
+
+
 def test_warc_binary_magic_embedding_body(spark, tmp_path):
     """Strict framing: a BINARY body embedding the record magic must
     not split early — the splitter seeks by Content-Length, never scans

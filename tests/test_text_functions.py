@@ -89,6 +89,29 @@ def test_remove_accents_greek(spark):
         assert _one(spark, TXT.remove_accents, src) == want, src
 
 
+def test_remove_accents_ascii_invariant_for_covered_scripts(spark):
+    """For every covered script (Latin incl. Latin-1/Extended-A,
+    Cyrillic, Greek) the output is pure ASCII — the invariant the
+    slugify/filename callers rely on. Seeded corpus, one Spark call."""
+    import random
+
+    rng = random.Random(99)
+    pools = [
+        [chr(c) for c in range(0x41, 0x7B) if chr(c).isalpha()],
+        [chr(c) for c in range(0xC0, 0x180) if chr(c).isalpha()],   # Latin-1/Ext-A
+        [chr(c) for c in range(0x391, 0x3CA) if chr(c).isalpha()],  # Greek
+        [chr(c) for c in range(0x410, 0x450)],                      # Cyrillic
+    ]
+    corpus = [
+        "".join(rng.choice(rng.choice(pools)) for _ in range(rng.randint(1, 30)))
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame([(s,) for s in corpus], "t string")
+    out = [r["o"] for r in df.select(TXT.remove_accents(F.col("t")).alias("o")).collect()]
+    bad = [(s, o) for s, o in zip(corpus, out) if not o.isascii()]
+    assert not bad, bad[:5]
+
+
 def test_remove_accents_cjk_passthrough(spark):
     """Documented divergence from the reference's unidecode (which
     romanizes CJK to pinyin/romaji): CJK passes through unchanged.
