@@ -77,3 +77,25 @@ def test_no_single_partition_exchange(skewed):
         skewed, [F.asc("url")]
     )._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+def test_global_row_number_shuffles_once(skewed):
+    """The mid-index form must stay window-free and single-exchange:
+    the old window-on-__pid form planned a SECOND full exchange
+    (hashpartitioning(__pid)) after the range exchange — the whole
+    dataset crossed the wire twice. Offsets must ride a broadcast, not
+    a create_map literal (per-row linear scan, codegen blowup at
+    cluster-scale P)."""
+    plan = global_row_number(
+        skewed, [F.asc("url")], num_partitions=4
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(__pid" not in plan
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_ranked_top_k_plans_no_window(skewed):
+    plan = ranked_top_k(
+        skewed, [F.asc("url")], 10
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
