@@ -15,8 +15,11 @@ buckets — queries never recompute signatures over the full table.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 
 def _topk_by_sim(cand: DataFrame, k: int) -> DataFrame:
@@ -221,25 +224,76 @@ def _sqdist_to(vec, centroid: list[float]):
     )
 
 
-def ivf_cell(vec, centroids: list[list[float]]):
-    """Nearest-centroid cell id (0-based) — argmin over constant
-    centroid arrays, one codegen expression."""
-    dists = F.array(*[_sqdist_to(vec, c) for c in centroids])
-    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+# Above this many inlined centroid floats (n_cells × dim) the literal
+# expression tree stops being a plan and starts being a payload:
+# analysis walks every literal and Janino gets one method per array
+# element — production IVF (4096 cells × 768 dims ≈ 3.1M literals)
+# never finishes planning. The numpy pandas-UDF twin ships the
+# centroid matrix once per task in the closure and does the argmin as
+# one (batch × dim) @ (dim × cells) GEMM.
+_IVF_EXPR_MAX_LITERALS = 4096
 
 
-def _probe_cells(vec, centroids: list[list[float]], n_probe: int):
-    """Ids of the n_probe nearest cells: sort (dist, id) structs —
-    struct ordering is field-lexicographic — then project ids."""
-    tagged = F.array(
-        *[
-            F.struct(_sqdist_to(vec, c).alias("d"), F.lit(i).alias("i"))
-            for i, c in enumerate(centroids)
-        ]
-    )
-    return F.slice(
-        F.transform(F.array_sort(tagged), lambda s: s["i"]), 1, n_probe
-    )
+def _centroid_matrix(centroids: list[list[float]]):
+    return np.asarray(centroids, dtype=np.float64)
+
+
+def ivf_cell(vec, centroids: list[list[float]], engine: str = "auto"):
+    """Nearest-centroid cell id (0-based). ``engine='expr'`` is the
+    pure-codegen argmin over constant centroid arrays (exact (a-b)²
+    sums — the form the SQL oracle restates); ``'np'`` is the GEMM
+    form ‖x‖²−2x·c+‖c‖² (may differ by float ulps on near-ties;
+    first-index tie-break matches). ``'auto'`` picks by literal count
+    so small indexes keep the oracle-identical expression and
+    production-sized ones never hit the plan-size wall."""
+    n_lit = len(centroids) * (len(centroids[0]) if centroids else 0)
+    if engine == "expr" or (engine == "auto" and n_lit <= _IVF_EXPR_MAX_LITERALS):
+        dists = F.array(*[_sqdist_to(vec, c) for c in centroids])
+        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+    C = _centroid_matrix(centroids)
+    c_sq = (C * C).sum(axis=1)
+
+    @pandas_udf("int")
+    def _cell(vs: pd.Series) -> pd.Series:
+        M = np.asarray(vs.tolist(), dtype=np.float64)
+        d = M @ (-2.0 * C.T) + c_sq  # ‖x‖² omitted: constant per row
+        return pd.Series(d.argmin(axis=1).astype("int32"))
+
+    return _cell(vec)
+
+
+def _probe_cells(vec, centroids: list[list[float]], n_probe: int, engine: str = "auto"):
+    """Ids of the n_probe nearest cells. expr form: sort (dist, id)
+    structs — struct ordering is field-lexicographic — then project
+    ids; np form: one GEMM + argsort per Arrow batch (query side is
+    small, but the PLAN must stay small too — same literal-count wall
+    as ivf_cell)."""
+    n_lit = len(centroids) * (len(centroids[0]) if centroids else 0)
+    if engine == "expr" or (engine == "auto" and n_lit <= _IVF_EXPR_MAX_LITERALS):
+        tagged = F.array(
+            *[
+                F.struct(_sqdist_to(vec, c).alias("d"), F.lit(i).alias("i"))
+                for i, c in enumerate(centroids)
+            ]
+        )
+        return F.slice(
+            F.transform(F.array_sort(tagged), lambda s: s["i"]), 1, n_probe
+        )
+
+    C = _centroid_matrix(centroids)
+    c_sq = (C * C).sum(axis=1)
+
+    @pandas_udf("array<int>")
+    def _cells(vs: pd.Series) -> pd.Series:
+        M = np.asarray(vs.tolist(), dtype=np.float64)
+        d = M @ (-2.0 * C.T) + c_sq
+        # stable sort = first-index tie-break, matching array_sort on
+        # (d, i) structs
+        order = np.argsort(d, axis=1, kind="stable")[:, :n_probe].astype("int32")
+        return pd.Series(list(order))
+
+    return _cells(vec)
 
 
 def ivf_topk(

@@ -362,6 +362,25 @@ def test_near_dup_pairs(spark):
     assert un == {(1, 2), (1, 3), (2, 3), (4, 5), (3, 4), (3, 5)}
 
 
+def test_ivf_cell_np_engine_matches_expr(spark, vectors):
+    """The numpy GEMM assignment (the production-scale path — the expr
+    form inlines n_cells x dim literals and stops planning around 3M of
+    them) must agree with the codegen argmin on every vector, and the
+    np probe-cell ranking must match the struct-sort form."""
+    _, df = vectors
+    cents = simsearch.train_ivf_centroids(df, n_cells=4, seed=42)
+    both = df.select(
+        "vec_id",
+        simsearch.ivf_cell(F.col("embedding"), cents, engine="expr").alias("ce"),
+        simsearch.ivf_cell(F.col("embedding"), cents, engine="np").alias("cn"),
+        simsearch._probe_cells(F.col("embedding"), cents, 3, engine="expr").alias("pe"),
+        simsearch._probe_cells(F.col("embedding"), cents, 3, engine="np").alias("pn"),
+    ).collect()
+    for r in both:
+        assert r["ce"] == r["cn"], (r["vec_id"], r["ce"], r["cn"])
+        assert list(r["pe"]) == list(r["pn"]), (r["vec_id"], r["pe"], r["pn"])
+
+
 def test_ivf_full_probe_equals_brute_force(spark, vectors):
     """n_probe = n_cells degrades IVF to exact search — results must
     equal brute force row-for-row, whatever the trained centroids."""
