@@ -15,6 +15,8 @@ buckets — queries never recompute signatures over the full table.
 
 from __future__ import annotations
 
+import functools as _functools
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
@@ -82,34 +84,63 @@ def brute_force_topk(
     return _topk_by_sim(scored, k)
 
 
-def hyperplane_signature(vec, n_planes: int = 16, dim: int = 64) -> F.Column:
+@_functools.lru_cache(maxsize=None)
+def _hyperplane_signs(n_planes: int, dim: int) -> tuple[tuple[float, ...], ...]:
+    """The deterministic ±1 hyperplanes: sign(p, i) = +1 iff
+    md5('p_i') is even — the exact constants the SQL oracle restates
+    (hex parity = last-digit parity). hashlib here is a one-time
+    driver cost; the previous form re-derived every weight with a
+    PER-ROW md5 expression — n_planes × dim md5 calls per scanned row
+    (1024/row at 16×64), pure waste since the weights are constants."""
+    import hashlib
+
+    return tuple(
+        tuple(
+            1.0
+            if int(hashlib.md5(f"{p}_{i}".encode()).hexdigest()[:4], 16) % 2 == 0
+            else -1.0
+            for i in range(dim)
+        )
+        for p in range(n_planes)
+    )
+
+
+def hyperplane_signature(
+    vec, n_planes: int = 16, dim: int = 64, engine: str = "auto"
+) -> F.Column:
     """Random-hyperplane LSH signature: bit p = sign(v · h_p) where
     h_p is a deterministic pseudo-random ±1 hyperplane derived from
-    md5(p, i) — reproducible in SQL, no RNG state."""
-    bits = []
-    for p in range(n_planes):
-        # ±1 weights per dimension from a hash of (plane, dim-index)
-        proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda v, i: v
-                * F.when(
-                    F.conv(
-                        F.substring(F.md5(F.concat_ws("_", F.lit(str(p)), i.cast("string"))), 1, 4),
-                        16, 10,
-                    ).cast("long") % 2 == 0,
-                    F.lit(1.0),
-                ).otherwise(F.lit(-1.0)),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bits.append(F.when(proj > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2 ** p))
-    out = F.lit(0)
-    for b in bits:
-        out = out + b
-    return out
+    md5(p, i) — reproducible in SQL, no RNG state. ``engine='expr'``
+    folds each plane's precomputed weights as a literal array inside
+    codegen (left-to-right float fold — bit-identical to the old
+    per-row-md5 form and the SQL oracle); ``'np'`` is one
+    (batch × dim) @ (dim × planes) GEMM per Arrow batch for
+    production-sized signatures where n_planes × dim literals would
+    hit the same plan-size wall as ivf_cell (ulp-level sign flips
+    possible on projections exactly at 0; first-bit semantics match).
+    ``'auto'`` picks by literal count."""
+    signs = _hyperplane_signs(n_planes, dim)
+    if engine == "expr" or (engine == "auto" and n_planes * dim <= _IVF_EXPR_MAX_LITERALS):
+        out = F.lit(0)
+        for p in range(n_planes):
+            w = F.array(*[F.lit(s) for s in signs[p]])
+            proj = F.aggregate(
+                F.zip_with(vec, w, lambda v, s: v * s),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            out = out + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        return out
+
+    W = np.asarray(signs)  # (planes, dim)
+    pows = (1 << np.arange(n_planes)).astype(np.int64)
+
+    @pandas_udf("int")
+    def _sig(vs: pd.Series) -> pd.Series:
+        M = np.asarray(vs.tolist(), dtype=np.float64)
+        return pd.Series(((M @ W.T > 0) @ pows).astype("int32"))
+
+    return _sig(vec)
 
 
 def _bucket_probe_topk(

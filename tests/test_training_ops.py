@@ -381,6 +381,25 @@ def test_ivf_cell_np_engine_matches_expr(spark, vectors):
         assert list(r["pe"]) == list(r["pn"]), (r["vec_id"], r["pe"], r["pn"])
 
 
+def test_hyperplane_signature_np_matches_expr(spark, vectors):
+    """The GEMM signature engine must bucket every vector identically
+    to the literal-fold codegen form (which itself is bit-identical to
+    the md5-parity definition the SQL oracle restates)."""
+    _, df = vectors
+    both = df.select(
+        "vec_id",
+        simsearch.hyperplane_signature(
+            F.col("embedding"), n_planes=6, dim=8, engine="expr"
+        ).alias("se"),
+        simsearch.hyperplane_signature(
+            F.col("embedding"), n_planes=6, dim=8, engine="np"
+        ).alias("sn"),
+    ).collect()
+    assert all(r["se"] == r["sn"] for r in both), [
+        (r["vec_id"], r["se"], r["sn"]) for r in both if r["se"] != r["sn"]
+    ][:5]
+
+
 def test_ivf_full_probe_equals_brute_force(spark, vectors):
     """n_probe = n_cells degrades IVF to exact search — results must
     equal brute force row-for-row, whatever the trained centroids."""
