@@ -80,23 +80,48 @@ def stratified_sample(
 
 
 def stratified_take(
-    df: DataFrame, n: int, strata_col: str, key_col: str = "doc_id", salt: str = ""
+    df: DataFrame,
+    n: int,
+    strata_col: str,
+    key_col: str = "doc_id",
+    salt: str = "",
+    salt_buckets: int = 0,
 ) -> DataFrame:
     """EXACTLY ``n`` rows per stratum (fewer if the stratum is smaller),
     chosen by hash order — exact quotas where ``stratified_sample``
-    gives expected ones. One shuffle on the stratum key; the window is
-    partitioned, so no stratum ever serializes the whole corpus
-    through one task. Hash-then-key ordering makes the quota a uniform
-    draw yet fully deterministic."""
+    gives expected ones. Hash-then-key ordering makes the quota a
+    uniform draw yet fully deterministic.
+
+    A partitioned window still puts EACH STRATUM in one task — with a
+    handful of sources over a 100 TB corpus that is tens of TB through
+    a single task. ``salt_buckets > 1`` engages the same salted
+    two-phase top-k the politeness scheduler uses (operators/
+    schedule.py W4): phase 1 ranks within (stratum, salt) — parallel
+    within each stratum — and keeps each salt's local n (the true
+    per-stratum top-n is a subset of the union of salted top-ns), so
+    the exact phase-2 window sees ≤ salt_buckets × n rows per stratum
+    instead of the stratum's whole corpus. Identical output
+    (test_stratified_take_salted_matches_plain); default off so small
+    callers keep the single-shuffle plan."""
     from pyspark.sql import Window
 
     if n < 0:
         raise ValueError(f"n must be >= 0, got {n}")
-    w = Window.partitionBy(strata_col).orderBy(
-        portable_bucket(F.col(key_col), salt), F.col(key_col)
-    )
+    order = [portable_bucket(F.col(key_col), salt), F.col(key_col)]
+    out = df
+    if salt_buckets > 1:
+        out = out.withColumn(
+            "__salt", F.pmod(F.xxhash64(F.col(key_col)), F.lit(salt_buckets))
+        )
+        w1 = Window.partitionBy(strata_col, "__salt").orderBy(*order)
+        out = (
+            out.withColumn("__rk1", F.row_number().over(w1))
+            .where(F.col("__rk1") <= n)
+            .drop("__rk1", "__salt")
+        )
+    w = Window.partitionBy(strata_col).orderBy(*order)
     return (
-        df.withColumn("__rk", F.row_number().over(w))
+        out.withColumn("__rk", F.row_number().over(w))
         .where(F.col("__rk") <= n)
         .drop("__rk")
     )

@@ -69,6 +69,25 @@ def test_stratified_take_exact_quotas(docs):
     assert sorted(r["doc_id"] for r in out) == want
 
 
+def test_stratified_take_salted_matches_plain(docs):
+    """The salted two-phase form (the 100 TB path — one stratum never
+    rides a single task) must pick EXACTLY the same rows as the
+    single-window form, for salt counts that do and don't divide the
+    strata evenly."""
+    want = sorted(
+        (r["doc_id"], r["lang"])
+        for r in curation.stratified_take(docs, 7, "lang").collect()
+    )
+    for b in (2, 3, 16):
+        got = sorted(
+            (r["doc_id"], r["lang"])
+            for r in curation.stratified_take(
+                docs, 7, "lang", salt_buckets=b
+            ).collect()
+        )
+        assert got == want, b
+
+
 def test_stratified_take_small_stratum_unpadded(spark):
     df = spark.createDataFrame(
         [("a", "x"), ("b", "x"), ("c", "y")], "doc_id string, lang string"
