@@ -24,13 +24,33 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 
-def _topk_by_sim(cand: DataFrame, k: int) -> DataFrame:
+def _topk_by_sim(cand: DataFrame, k: int, salt_buckets: int = 0) -> DataFrame:
     """Shared ranking tail: per-query top-k by (sim desc, neighbor_id)
     — the tie-break/rounding contract lives here once for all three
-    search strategies."""
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    search strategies.
+
+    A window partitioned on query_id puts each query's WHOLE candidate
+    set in one task — for brute force that is the full corpus per
+    query. ``salt_buckets > 1`` engages the repo-standard salted
+    two-phase top-k (schedule.py W4 / curation.stratified_take): rank
+    within (query, salt-of-neighbor), keep each salt's local k, then
+    the exact window sees ≤ salt_buckets × k rows per query. Identical
+    output (test pins equality); default off so bucket-pruned probes
+    keep the single-window plan."""
+    order = [F.desc("sim"), F.asc("neighbor_id")]
+    out = cand
+    if salt_buckets > 1:
+        w1 = Window.partitionBy(
+            "query_id", F.pmod(F.xxhash64("neighbor_id"), F.lit(salt_buckets))
+        ).orderBy(*order)
+        out = (
+            out.withColumn("__rk1", F.row_number().over(w1))
+            .where(F.col("__rk1") <= k)
+            .drop("__rk1")
+        )
+    w = Window.partitionBy("query_id").orderBy(*order)
     return (
-        cand.withColumn("rank", F.row_number().over(w))
+        out.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim", "rank")
     )
@@ -65,6 +85,7 @@ def brute_force_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    salt_buckets: int = 0,
 ) -> DataFrame:
     """Exact top-k neighbours for each query vector.
 
@@ -81,7 +102,7 @@ def brute_force_topk(
         F.col(id_col).alias("neighbor_id"),
         F.round(cosine(F.col(vec_col), F.col("q_vec")), 6).alias("sim"),
     )
-    return _topk_by_sim(scored, k)
+    return _topk_by_sim(scored, k, salt_buckets)
 
 
 @_functools.lru_cache(maxsize=None)
@@ -144,7 +165,8 @@ def hyperplane_signature(
 
 
 def _bucket_probe_topk(
-    emb_s: DataFrame, q_s: DataFrame, key: str, k: int, id_col: str, vec_col: str
+    emb_s: DataFrame, q_s: DataFrame, key: str, k: int, id_col: str, vec_col: str,
+    salt_buckets: int = 0,
 ) -> DataFrame:
     """Shared probe tail for every bucketed strategy (query-time or
     indexed): broadcast the (query, bucket) side, equi-join on the
@@ -156,7 +178,7 @@ def _bucket_probe_topk(
         F.col(id_col).alias("neighbor_id"),
         F.round(cosine(F.col(vec_col), F.col("q_vec")), 6).alias("sim"),
     )
-    return _topk_by_sim(cand, k)
+    return _topk_by_sim(cand, k, salt_buckets)
 
 
 def lsh_topk(
@@ -453,6 +475,7 @@ def brute_force_topk_quantized(
     qvec_col: str = "q_embedding",
     scale_col: str = "q_scale",
     vec_col: str = "embedding",
+    salt_buckets: int = 0,
 ) -> DataFrame:
     """Exact-shape top-k over a ``quantize_embeddings`` table: the scan
     reads int8 arrays + one scale per vector (4x fewer bytes than
@@ -472,4 +495,4 @@ def brute_force_topk_quantized(
         F.col(id_col).alias("neighbor_id"),
         F.round(cosine(deq, F.col("q_vec")), 6).alias("sim"),
     )
-    return _topk_by_sim(scored, k)
+    return _topk_by_sim(scored, k, salt_buckets)

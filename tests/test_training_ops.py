@@ -381,6 +381,27 @@ def test_ivf_cell_np_engine_matches_expr(spark, vectors):
         assert list(r["pe"]) == list(r["pn"]), (r["vec_id"], r["pe"], r["pn"])
 
 
+def test_brute_force_topk_salted_matches_plain(spark, vectors):
+    """The salted rank tail (the corpus-scale path — one query's
+    candidate set never rides a single task) must return exactly the
+    single-window result, ranks included."""
+    _, df = vectors
+    queries = df.where("vec_id in (3, 11)").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    want = sorted(
+        tuple(r) for r in simsearch.brute_force_topk(df, queries, k=5).collect()
+    )
+    for b in (2, 7):
+        got = sorted(
+            tuple(r)
+            for r in simsearch.brute_force_topk(
+                df, queries, k=5, salt_buckets=b
+            ).collect()
+        )
+        assert got == want, b
+
+
 def test_hyperplane_signature_np_matches_expr(spark, vectors):
     """The GEMM signature engine must bucket every vector identically
     to the literal-fold codegen form (which itself is bit-identical to
