@@ -38,13 +38,22 @@ def pagerank(
     Duplicate edges are collapsed first (a page linking twice confers
     one endorsement — matches the seen-set's URL identity). Nodes with
     no in-links converge to (1 - damping) immediately."""
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).distinct()
+    # the loop re-reads e/nodes/outdeg every iteration and each ranks_i
+    # feeds ranks_{i+1}: without truncation the final plan replays the
+    # whole chain (edge dedup included) once per consumer and analysis
+    # cost grows with iters — lazy localCheckpoints make every
+    # iteration read materialized inputs, the standard iterative-
+    # algorithm shape (same pattern as dedup's CC contraction loop)
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     nodes = (
         e.select(F.col("src").alias("url"))
         .union(e.select(F.col("dst").alias("url")))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
     ranks = nodes.withColumn("rank", F.lit(1.0))
@@ -64,7 +73,7 @@ def pagerank(
                 + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0)),
                 round_dp,
             ).alias("rank"),
-        )
+        ).localCheckpoint(eager=False)
     return ranks
 
 
