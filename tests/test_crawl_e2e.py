@@ -568,3 +568,67 @@ def test_max_pages_per_domain_quota(spark, tmp_path):
            io_r.read("fetch_batches").groupBy("domain")
            .agg(F.count("*").alias("n")).collect()}
     assert got == per_dom
+
+
+def test_crawl_random_graph_fuzz(spark, tmp_path):
+    """Randomized composite parity: random link graphs × random config
+    knobs (budget, image filter, failures + retry budget, wave cap)
+    replayed exactly against tests/oracle.py. The per-seam parity
+    tests above exercise one knob at a time; this turns several at
+    once so seam INTERACTIONS (a budget starving a retrying URL, an
+    image link racing the wave cap, links to URLs with no document)
+    can't hide. Fragments, cross-domain and image links are seeded
+    deliberately; relative-URL parity is owned by
+    test_url_parse_property, so link targets here are absolute."""
+    import random
+
+    for case in range(4):
+        rng = random.Random(1000 + case)
+        n_domains = rng.randint(1, 2)
+        domains = [f"fz{chr(ord('a') + i)}{case}.test" for i in range(n_domains)]
+        all_pages = [f"http://{d}/" for d in domains] + [
+            f"http://{d}/p{i}" for d in domains for i in range(rng.randint(4, 9))
+        ]
+        rows = []
+        for url in all_pages:
+            spans = [
+                {"kind": "text", "text": f"body {url}", "media_ref": None, "offset": 0}
+            ]
+            for off in range(1, rng.randint(2, 8)):
+                r = rng.random()
+                if r < 0.72:
+                    tgt = rng.choice(all_pages)
+                elif r < 0.82:
+                    tgt = rng.choice(all_pages) + "#frag"
+                elif r < 0.90:
+                    tgt = f"http://ext{rng.randint(0, 2)}.example/x{off}"
+                else:
+                    tgt = f"http://{rng.choice(domains)}/img{rng.randint(0, 3)}.jpg"
+                spans.append(
+                    {"kind": "link", "text": "", "media_ref": tgt, "offset": off}
+                )
+            rows.append({"doc_id": url, "spans": spans})
+        config = CrawlConfig(
+            start_urls=[f"http://{domains[0]}/"],
+            ignore_images=rng.random() < 0.5,
+            max_per_domain_per_wave=rng.choice([2, 4, 1_000_000_000]),
+            max_waves=rng.choice([3, 8]),
+            max_retries=rng.choice([0, 1]),
+            wait_time=0.01,
+        )
+        failing = {}
+        if rng.random() < 0.6:
+            for u in rng.sample(all_pages, min(3, len(all_pages))):
+                failing[u] = rng.choice([1, 99])
+        state = oracle.crawl(rows, config, failures=failing or None)
+        io = TableIO(spark, str(tmp_path / f"fz{case}"))
+        fdim = (
+            spark.createDataFrame(list(failing.items()), "url string, n_failures int")
+            if failing
+            else None
+        )
+        runner = WaveRunner(
+            spark, config, site_df(spark, rows), io, fetch_failures=fdim
+        )
+        runner.run()
+        assert_parity(io, state)
