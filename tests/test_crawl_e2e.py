@@ -632,3 +632,41 @@ def test_crawl_random_graph_fuzz(spark, tmp_path):
         )
         runner.run()
         assert_parity(io, state)
+
+
+def test_resume_with_failures_and_budget_parity(spark, site, tmp_path):
+    """Composite resume: a crawl carrying BOTH a failure channel (with
+    a retry budget) and a per-domain budget stops after 2 waves and
+    resumes with a fresh runner — final state must equal the
+    uninterrupted oracle replay, failure log included. Exercises the
+    restored fetch_failed state interacting with retry retirement,
+    which the clean-path resume tests never touch."""
+    urls = sorted({r["doc_id"] for r in site if "sitea" in r["doc_id"]})
+    failing = {urls[1]: 99, urls[2]: 1, urls[4]: 2}
+    config = CrawlConfig(
+        start_urls=["http://sitea.test/"],
+        ignore_images=True,
+        max_per_domain_per_wave=4,
+        max_retries=1,
+        wait_time=0.01,
+    )
+    state = oracle.crawl(site, config, failures=failing)
+
+    io = TableIO(spark, str(tmp_path / "rf"))
+    fdim = spark.createDataFrame(
+        list(failing.items()), "url string, n_failures int"
+    )
+    WaveRunner(spark, config, site_df(spark, site), io, fetch_failures=fdim).run(
+        max_waves=2
+    )
+    # fresh runner, same channel: resume must replay attempt counts
+    io2 = TableIO(spark, str(tmp_path / "rf"))
+    WaveRunner(
+        spark, config, site_df(spark, site), io2, fetch_failures=fdim
+    ).resume()
+    assert_parity(io2, state)
+    eng_failed = sorted(
+        (r["wave"], r["attempt"], r["url"])
+        for r in io2.read("fetch_failed").collect()
+    )
+    assert eng_failed == sorted(state.failed_attempts)
