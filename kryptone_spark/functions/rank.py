@@ -34,6 +34,8 @@ sort keys form a total order (callers must include a unique tiebreaker
 
 from __future__ import annotations
 
+from decimal import Decimal as _Decimal
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -67,9 +69,14 @@ def _offsets_df(df: DataFrame, counts: dict[int, int], base) -> DataFrame:
     """(__pid, __off) broadcast dim: exclusive prefix over the observed
     partitions in range (= numeric pid) order. The offset column keeps
     the accumulator's numeric family (long for counts/long sums, double
-    for double sums) so downstream arithmetic preserves its dtype."""
-    is_float = isinstance(base, float) or any(
-        isinstance(v, float) for v in counts.values()
+    for double/decimal sums). Supported families: int, float, and
+    decimal.Decimal — Decimal totals (a DECIMAL value column) fold in
+    the double family, trading exact decimal arithmetic for a correct
+    magnitude; ``int(acc)`` on a fractional Decimal would silently
+    truncate every downstream offset. Callers needing exact decimal
+    cumsums must cast the value column to long (scaled) first."""
+    is_float = isinstance(base, (float, _Decimal)) or any(
+        isinstance(v, (float, _Decimal)) for v in counts.values()
     )
     offsets, acc = [], base
     for pid in sorted(counts):

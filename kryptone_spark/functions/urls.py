@@ -398,6 +398,13 @@ def registrable_domain_psl(h: Column) -> Column:
         def one(host):
             if host is None:
                 return None
+            # PSL normalization step: a fully-qualified trailing dot is
+            # stripped before matching — 'example.com.' must share a
+            # politeness/seen bucket with 'example.com' (an empty last
+            # label would otherwise match no rule and return 'com.').
+            host = host[:-1] if host.endswith(".") else host
+            if not host:
+                return None
             labels = host.split(".")
             low = host.lower().split(".")
             n = len(labels)

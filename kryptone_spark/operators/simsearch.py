@@ -126,6 +126,40 @@ def _hyperplane_signs(n_planes: int, dim: int) -> tuple[tuple[float, ...], ...]:
     )
 
 
+def _vec_matrix(vs: pd.Series, dim: int):
+    """(matrix, valid_mask) for an Arrow batch of embedding arrays.
+    A NULL, wrong-length, or null-element row is zero-filled in the
+    matrix and masked invalid — callers emit NULL for masked rows
+    instead of raising mid-stage (the repo's ANSI never-fail posture;
+    the expr twins already yield NULL/0 rather than erroring). The
+    clean-batch fast path is one np.asarray; only a dirty batch pays
+    the per-row fallback loop."""
+    vals = vs.tolist()
+    n = len(vals)
+    try:
+        M = np.asarray(vals, dtype=np.float64)
+        if M.ndim == 2 and M.shape[1] == dim:
+            # Arrow surfaces a null ELEMENT as NaN in a float array —
+            # a NaN-bearing vector is as unusable as a NULL one
+            return np.nan_to_num(M), ~np.isnan(M).any(axis=1)
+    except (TypeError, ValueError):
+        pass
+    M = np.zeros((n, dim), dtype=np.float64)
+    valid = np.zeros(n, dtype=bool)
+    for i, v in enumerate(vals):
+        if v is None or len(v) != dim:
+            continue
+        try:
+            M[i] = v
+        except (TypeError, ValueError):
+            continue
+        if not np.isnan(M[i]).any():
+            valid[i] = True
+        else:
+            M[i] = 0.0
+    return M, valid
+
+
 def hyperplane_signature(
     vec, n_planes: int = 16, dim: int = 64, engine: str = "auto"
 ) -> F.Column:
@@ -139,7 +173,16 @@ def hyperplane_signature(
     production-sized signatures where n_planes × dim literals would
     hit the same plan-size wall as ivf_cell (ulp-level sign flips
     possible on projections exactly at 0; first-bit semantics match).
-    ``'auto'`` picks by literal count."""
+    ``'auto'`` picks by literal count. n_planes is capped at 31: the
+    signature is an int column (the contract dtype), and past bit 31
+    the np path's int32 cast would silently wrap while the expr path
+    builds unbounded long literals — the engines would diverge exactly
+    where ``'auto'`` switches. 2^31 buckets is far beyond any useful
+    banding granularity; wider sketches belong to simhash64."""
+    if n_planes > 31:
+        raise ValueError(
+            f"n_planes={n_planes} > 31: signature is a 32-bit int column"
+        )
     signs = _hyperplane_signs(n_planes, dim)
     if engine == "expr" or (engine == "auto" and n_planes * dim <= _IVF_EXPR_MAX_LITERALS):
         out = F.lit(0)
@@ -158,8 +201,11 @@ def hyperplane_signature(
 
     @pandas_udf("int")
     def _sig(vs: pd.Series) -> pd.Series:
-        M = np.asarray(vs.tolist(), dtype=np.float64)
-        return pd.Series(((M @ W.T > 0) @ pows).astype("int32"))
+        M, valid = _vec_matrix(vs, dim)
+        sigs = ((M @ W.T > 0) @ pows).astype("int32")
+        out = pd.Series(sigs, dtype="Int32")
+        out[~valid] = pd.NA
+        return out
 
     return _sig(vec)
 
@@ -309,9 +355,11 @@ def ivf_cell(vec, centroids: list[list[float]], engine: str = "auto"):
 
     @pandas_udf("int")
     def _cell(vs: pd.Series) -> pd.Series:
-        M = np.asarray(vs.tolist(), dtype=np.float64)
+        M, valid = _vec_matrix(vs, C.shape[1])
         d = M @ (-2.0 * C.T) + c_sq  # ‖x‖² omitted: constant per row
-        return pd.Series(d.argmin(axis=1).astype("int32"))
+        out = pd.Series(d.argmin(axis=1).astype("int32"), dtype="Int32")
+        out[~valid] = pd.NA  # expr twin yields NULL for NULL/ragged vecs
+        return out
 
     return _cell(vec)
 
@@ -339,12 +387,14 @@ def _probe_cells(vec, centroids: list[list[float]], n_probe: int, engine: str = 
 
     @pandas_udf("array<int>")
     def _cells(vs: pd.Series) -> pd.Series:
-        M = np.asarray(vs.tolist(), dtype=np.float64)
+        M, valid = _vec_matrix(vs, C.shape[1])
         d = M @ (-2.0 * C.T) + c_sq
         # stable sort = first-index tie-break, matching array_sort on
         # (d, i) structs
         order = np.argsort(d, axis=1, kind="stable")[:, :n_probe].astype("int32")
-        return pd.Series(list(order))
+        return pd.Series(
+            [row if ok else None for row, ok in zip(list(order), valid)]
+        )
 
     return _cells(vec)
 

@@ -102,15 +102,29 @@ def _gunzip_members(blob: bytes) -> bytes:
     """Decompress a multi-member gzip stream (Common Crawl frames one
     gzip member PER RECORD so readers can seek; a plain one-shot gunzip
     stops after the first member and silently drops the archive tail).
-    Not gzip at all ⇒ returned unchanged."""
+    Not gzip at all ⇒ returned unchanged.
+
+    Damage tolerance (a single bad archive must not fail the whole
+    ``binaryFile`` scan): a corrupt member stops the walk and keeps
+    every member that decompressed cleanly before it; a TRUNCATED final
+    member (no zlib error, stream just ends) keeps its decodable prefix
+    — ``_split_records`` then drops any half-record tail via its normal
+    framing. Non-gzip trailer bytes after the last member (writer
+    garbage, ranged-read slop) are deliberately dropped by the magic
+    check: they cannot be member bytes of this archive."""
     if blob[:2] != b"\x1f\x8b":
         return blob
     parts = []
     data = blob
     while data[:2] == b"\x1f\x8b":
         d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
-        parts.append(d.decompress(data))
-        parts.append(d.flush())
+        try:
+            parts.append(d.decompress(data))
+            parts.append(d.flush())
+        except zlib.error:
+            break  # corrupt member: keep the clean prefix
+        if not d.eof:
+            break  # truncated final member: prefix kept, nothing follows
         data = d.unused_data
     return b"".join(parts)
 

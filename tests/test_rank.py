@@ -99,3 +99,27 @@ def test_ranked_top_k_plans_no_window(skewed):
         skewed, [F.asc("url")], 10
     )._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
+
+
+def test_global_cumsum_decimal_values(spark):
+    """A DECIMAL value column must not have its fractional
+    per-partition totals truncated in the driver-side offset fold
+    (int(Decimal('2.5')) == 2 would corrupt every downstream
+    partition's running sum): decimal folds in the double family."""
+    from decimal import Decimal
+
+    from kryptone_spark.functions.rank import global_cumsum
+
+    rows = [(i, Decimal(f"{i}.5")) for i in range(40)]
+    df = spark.createDataFrame(rows, "k int, v decimal(10,1)")
+    got = {
+        r["k"]: float(r["cs"])
+        for r in global_cumsum(
+            df, [F.asc("k")], F.col("v"), out_col="cs", num_partitions=4
+        ).collect()
+    }
+    acc, want = 0.0, {}
+    for i in range(40):
+        want[i] = acc
+        acc += i + 0.5
+    assert got == pytest.approx(want)

@@ -528,3 +528,43 @@ def test_warc_binary_agrees_with_text_path(spark, tmp_path):
         assert bytes(binr[uri]["body"]).decode() == txt[uri]["body"], uri
         for c in ("warc_type", "warc_date", "content_length"):
             assert binr[uri][c] == txt[uri][c], (uri, c)
+
+
+def test_warc_gz_damaged_tail_keeps_clean_prefix(spark, tmp_path):
+    """A truncated/corrupt trailing gzip member (or non-gzip trailer
+    garbage) must not fail the binaryFile scan: every member that
+    decompressed cleanly before the damage still yields its records."""
+    import gzip
+
+    from kryptone_spark.sources import warc
+    from kryptone_spark.sources.warc import _gunzip_members
+
+    recs = [
+        ("http://a.test/1", b"first body"),
+        ("http://a.test/2", b"second body"),
+    ]
+    good = str(tmp_path / "good.warc.gz")
+    warc.write_warc_gz_fixture(recs, good)
+    blob = open(good, "rb").read()
+
+    # a third member, truncated mid-stream
+    extra = gzip.compress(
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: http://a.test/3\r\nWARC-Date: 2024-01-01T00:00:00Z\r\n"
+        b"Content-Length: 10\r\n\r\n0123456789\r\n\r\n"
+    )
+    for damaged in (
+        blob + extra[: len(extra) // 2],        # truncated final member
+        blob + extra[:10] + b"\xff" * 20,       # corrupt final member
+        blob + b"not gzip trailer garbage",     # non-gzip trailer bytes
+    ):
+        out = _gunzip_members(damaged)
+        assert out.startswith(b"WARC/1.0")      # clean prefix survives
+        p = str(tmp_path / "damaged.warc.gz")
+        open(p, "wb").write(damaged)
+        rows = {
+            r["target_uri"]: r
+            for r in warc.read_warc_binary(spark, p).collect()
+        }
+        for url, body in recs:
+            assert bytes(rows[url]["body"]) == body, url

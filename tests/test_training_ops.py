@@ -421,6 +421,70 @@ def test_hyperplane_signature_np_matches_expr(spark, vectors):
     ][:5]
 
 
+def test_np_engines_null_and_ragged_vectors(spark, vectors):
+    """A NULL, wrong-length, or null-element embedding row must come
+    back NULL from the numpy engines — not fail the whole stage (the
+    expr twins yield NULL, and the repo's ANSI posture is never-fail).
+    Valid rows in the same Arrow batch are unaffected."""
+    _, df = vectors
+    cents = simsearch.train_ivf_centroids(df, n_cells=4, seed=42)
+    dirty = spark.createDataFrame(
+        [
+            (100, [0.5] * 8),                      # valid
+            (101, None),                           # NULL vector
+            (102, [1.0, 2.0]),                     # wrong length
+            (103, [1.0, None, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0]),  # null element
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {
+        r["vec_id"]: r
+        for r in dirty.select(
+            "vec_id",
+            simsearch.hyperplane_signature(
+                F.col("embedding"), n_planes=6, dim=8, engine="np"
+            ).alias("sig"),
+            simsearch.ivf_cell(F.col("embedding"), cents, engine="np").alias("cell"),
+            simsearch._probe_cells(
+                F.col("embedding"), cents, 2, engine="np"
+            ).alias("probe"),
+        ).collect()
+    }
+    for bad in (101, 102, 103):
+        assert rows[bad]["sig"] is None, bad
+        assert rows[bad]["cell"] is None, bad
+        assert rows[bad]["probe"] is None, bad
+    want = (
+        spark.createDataFrame([(100, [0.5] * 8)], "vec_id long, embedding array<float>")
+        .select(
+            simsearch.hyperplane_signature(
+                F.col("embedding"), n_planes=6, dim=8, engine="expr"
+            ).alias("sig"),
+            simsearch.ivf_cell(F.col("embedding"), cents, engine="expr").alias("cell"),
+        )
+        .collect()[0]
+    )
+    assert rows[100]["sig"] == want["sig"]
+    assert rows[100]["cell"] == want["cell"]
+
+
+def test_hyperplane_signature_planes_capped(spark, vectors):
+    """n_planes > 31 must raise up front: the signature is a 32-bit int
+    column, and past bit 31 the np engine would wrap while the expr
+    engine grows long literals — a silent cross-engine divergence."""
+    _, df = vectors
+    import pytest
+
+    with pytest.raises(ValueError, match="n_planes"):
+        simsearch.hyperplane_signature(
+            F.col("embedding"), n_planes=32, dim=8, engine="np"
+        )
+    with pytest.raises(ValueError, match="n_planes"):
+        simsearch.hyperplane_signature(
+            F.col("embedding"), n_planes=40, dim=8, engine="expr"
+        )
+
+
 def test_ivf_full_probe_equals_brute_force(spark, vectors):
     """n_probe = n_cells degrades IVF to exact search — results must
     equal brute force row-for-row, whatever the trained centroids."""

@@ -200,6 +200,12 @@ def test_registrable_domain_psl(spark):
         # a bare public suffix comes back unchanged
         ("co.uk", "co.uk"),
         ("github.io", "github.io"),
+        # PSL normalization: one trailing dot (FQDN form) is stripped so
+        # 'example.com.' shares a bucket with 'example.com' (was 'com.')
+        ("example.com.", "example.com"),
+        ("shop.example.com.", "example.com"),
+        ("co.uk.", "co.uk"),
+        (".", None),
     ]
     df = spark.createDataFrame([(h,) for h, _ in cases], "h string")
     got = {
