@@ -1170,6 +1170,135 @@ def q_crawl_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("wave", "rank_in_wave")
 
 
+def _dedup_site() -> list[dict]:
+    """Deterministic interleaved-document site with duplicated page
+    texts across AND within waves — the in-loop dedup fixture shared by
+    the Spark query and the oracle builder. BFS waves: 0 = home,
+    1 = a,b; 2 = c,d,e; 3 = f. Dup classes: boiler1 on a/c/f' (f is a
+    near-dup with extra tokens), boiler2 on d/e (same wave)."""
+    base = "http://dup.test"
+    boiler1 = (
+        "standard product description boilerplate shared by many pages "
+        "in this catalog with sizing materials and care instructions"
+    )
+    boiler2 = (
+        "shipping and returns policy text repeated across regional "
+        "storefront pages verbatim for compliance reasons"
+    )
+
+    def page(path, links, text):
+        return {
+            "doc_id": base + path,
+            "spans": (
+                [{"kind": "text", "text": text, "media_ref": "", "offset": 0}]
+                + [
+                    {"kind": "link", "text": "", "media_ref": base + l, "offset": i + 1}
+                    for i, l in enumerate(links)
+                ]
+            ),
+        }
+
+    return [
+        page("/", ["/a", "/b"], "welcome to the dup test site catalog of goods"),
+        page("/a", ["/c", "/d"], boiler1),
+        page("/b", ["/e"], "a genuinely unique essay about distributed crawl engines"),
+        page("/c", ["/f"], boiler1),
+        page("/d", [], boiler2),
+        page("/e", [], boiler2),
+        page("/f", [], boiler1 + " plus one extra trailing clause here"),
+    ]
+
+
+def q_crawl_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wave-loop crawl with the in-loop near-dup stage (WaveRunner
+    dedup=True): each wave's fetched page texts are MinHash-banded,
+    probed against the loop-maintained index, and appended to it — the
+    accumulated dup_pairs table holds every LSH candidate pair among
+    fetched docs exactly once, stamped with the LATER member's fetch
+    wave. Oracle: BFS fetch waves re-derived via recursive CTE over the
+    inlined site, minhash/banding restated in SQL, pair wave =
+    greatest(member waves)."""
+    import tempfile
+
+    from kryptone_spark.config import CrawlConfig
+    from kryptone_spark.plans.tableio import TableIO
+    from kryptone_spark.plans.waves import WaveRunner
+    from kryptone_spark.synth import site_df
+
+    site = _dedup_site()
+    config = CrawlConfig(start_urls=["http://dup.test/"], ignore_images=True)
+    io = TableIO(spark, tempfile.mkdtemp(prefix="kryptone_dedup_"))
+    WaveRunner(spark, config, site_df(spark, site), io, dedup=True).run()
+    return io.read("dup_pairs").select(
+        "doc_a", "doc_b", "n_shared_bands", F.col("wave").cast("int").alias("wave")
+    )
+
+
+def _crawl_dedup_oracle() -> str:
+    """Self-contained DuckDB oracle for the in-loop dedup crawl: the
+    INPUT (link edges + page texts) is inlined; fetch waves, minhash
+    signatures, band buckets, and pair waves are all re-derived in
+    SQL."""
+    site = _dedup_site()
+    edge_vals = ",\n              ".join(
+        "('{}', '{}')".format(r["doc_id"], s["media_ref"])
+        for r in site
+        for s in r["spans"]
+        if s["kind"] == "link"
+    )
+    text_vals = ",\n              ".join(
+        "('{}', '{}')".format(
+            r["doc_id"],
+            next(s["text"] for s in r["spans"] if s["kind"] == "text").replace("'", "''"),
+        )
+        for r in site
+    )
+    return f"""
+        WITH RECURSIVE edges(src, href) AS (
+            VALUES {edge_vals}
+        ),
+        pagetext(doc_id, text) AS (
+            VALUES {text_vals}
+        ),
+        walk(url, wave) AS (
+            SELECT 'http://dup.test/' AS url, 0 AS wave
+            UNION
+            SELECT e.href, w.wave + 1
+            FROM walk w JOIN edges e ON e.src = w.url
+            WHERE w.wave < 16
+        ),
+        ff AS (SELECT url, MIN(wave) AS wave FROM walk GROUP BY url),
+        fdocs AS (
+            SELECT p.doc_id, p.text FROM pagetext p
+            JOIN ff f ON f.url = p.doc_id WHERE p.text <> ''
+        ),
+        toks AS (
+            SELECT DISTINCT doc_id, tok FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(
+                           regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                           ' +')) AS tok
+                FROM fdocs
+            ) WHERE tok <> ''
+        ),
+        sigs AS (SELECT doc_id, {_SIG_COLS} FROM toks GROUP BY doc_id),
+        bands AS ({_BANDS_SQL}),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   count(*) AS n_shared_bands
+            FROM bands a
+            JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+                        AND a.doc_id < b.doc_id
+            GROUP BY doc_a, doc_b
+        )
+        SELECT p.doc_a, p.doc_b, p.n_shared_bands,
+               CAST(greatest(fa.wave, fb.wave) AS INT) AS wave
+        FROM pairs p
+        JOIN ff fa ON fa.url = p.doc_a
+        JOIN ff fb ON fb.url = p.doc_b
+    """
+
+
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary media → mapInPandas header decode.
     Deterministic fake codec (real codecs absent in this container)."""
@@ -1953,6 +2082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "completion_stats": q_completion_stats,
         "revenue_by_nation": q_revenue_by_nation,
         "crawl_flagship": q_crawl_flagship,
+        "crawl_dedup": q_crawl_dedup,
         "media_decode": q_media_decode,
         "media_dedup": q_media_dedup,
         "emb_quantize": q_emb_quantize,
@@ -2080,6 +2210,7 @@ def _crawl_flagship_oracle() -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "crawl_flagship": _crawl_flagship_oracle(),
+        "crawl_dedup": _crawl_dedup_oracle(),
         "url_parts": f"""
             WITH {URLS_CTE.strip()}
             SELECT k, url,

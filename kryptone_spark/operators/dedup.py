@@ -238,6 +238,69 @@ def materialize_minhash_index(
     banded.write.partitionBy("band").mode(mode).parquet(path)
 
 
+def _pairs_from_banded(
+    rows: DataFrame, max_bucket_size: int | None = None, new_only: bool = False
+) -> DataFrame:
+    """Shared pair-join tail over (doc_id, band, bucket[, is_new])
+    rows: hot-bucket cap, self-join on the bucket key, per-pair
+    shared-band count. ``new_only`` keeps pairs touching ≥1 ``is_new``
+    row (the incremental probe's contract)."""
+    if max_bucket_size is not None:
+        sizes = (
+            rows.groupBy("band", "bucket")
+            .agg(F.count("*").alias("__bs"))
+            .where(F.col("__bs") <= max_bucket_size)
+            .drop("__bs")
+        )
+        rows = rows.join(sizes, ["band", "bucket"], "left_semi")
+    a = rows.alias("a")
+    b_ = rows.alias("b")
+    j = a.join(b_, ["band", "bucket"]).where(F.col("a.doc_id") < F.col("b.doc_id"))
+    if new_only:
+        j = j.where(F.col("a.is_new") | F.col("b.is_new"))
+    return j.groupBy(
+        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    ).agg(F.count("*").alias("n_shared_bands"))
+
+
+def lsh_pairs_vs_index_df(
+    idx: DataFrame,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    max_bucket_size: int | None = None,
+    banded_new: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental LSH candidate pairs against an index that is already
+    a DataFrame of (doc_id, band, bucket) rows — the form the wave loop
+    maintains through TableIO (committed-wave partitions, so a resume
+    rolls the index back in lockstep with every other state table).
+    ``banded_new`` lets a caller that already banded the batch (e.g. to
+    persist the same rows) skip a second signature pass."""
+    if banded_new is None:
+        banded_new = banded_rows(minhash_signatures(new_docs, text_col, k), k, bands)
+    banded_new = banded_new.select("doc_id", "band", "bucket").withColumn(
+        "is_new", F.lit(True)
+    )
+    # exclude index copies of the batch's own doc_ids: after a crash
+    # between append and probe (or a deliberate re-probe of an already
+    # ingested batch) the same rows exist on both sides — without this
+    # anti-join every pair double-counts its shared bands and every
+    # bucket size doubles, spuriously tripping max_bucket_size
+    idx = (
+        idx.join(
+            F.broadcast(new_docs.select("doc_id").distinct()),
+            "doc_id",
+            "left_anti",
+        )
+        .select("doc_id", "band", "bucket", F.lit(False).alias("is_new"))
+    )
+    probe = F.broadcast(banded_new.select("band", "bucket").distinct())
+    rows = idx.join(probe, ["band", "bucket"], "left_semi").unionByName(banded_new)
+    return _pairs_from_banded(rows, max_bucket_size, new_only=True)
+
+
 def lsh_pairs_vs_index(
     spark,
     path: str,
@@ -260,47 +323,8 @@ def lsh_pairs_vs_index(
     shuffle). ``max_bucket_size`` counts over the pruned-union rows,
     which equals the full-union count for every bucket that can emit an
     incremental pair — cap semantics match the batch variant."""
-    banded_new = banded_rows(
-        minhash_signatures(new_docs, text_col, k), k, bands
-    ).withColumn("is_new", F.lit(True))
-    # exclude index copies of the batch's own doc_ids: after a crash
-    # between append and probe (or a deliberate re-probe of an already
-    # ingested batch) the same rows exist on both sides — without this
-    # anti-join every pair double-counts its shared bands and every
-    # bucket size doubles, spuriously tripping max_bucket_size
-    idx = (
-        spark.read.parquet(path)
-        .join(
-            F.broadcast(new_docs.select("doc_id").distinct()),
-            "doc_id",
-            "left_anti",
-        )
-        .select("doc_id", "band", "bucket", F.lit(False).alias("is_new"))
-    )
-    probe = F.broadcast(banded_new.select("band", "bucket").distinct())
-    rows = idx.join(probe, ["band", "bucket"], "left_semi").unionByName(
-        banded_new
-    )
-    if max_bucket_size is not None:
-        sizes = (
-            rows.groupBy("band", "bucket")
-            .agg(F.count("*").alias("__bs"))
-            .where(F.col("__bs") <= max_bucket_size)
-            .drop("__bs")
-        )
-        rows = rows.join(sizes, ["band", "bucket"], "left_semi")
-    a = rows.alias("a")
-    b_ = rows.alias("b")
-    return (
-        a.join(b_, ["band", "bucket"])
-        .where(
-            (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.col("a.is_new") | F.col("b.is_new"))
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count("*").alias("n_shared_bands"))
+    return lsh_pairs_vs_index_df(
+        spark.read.parquet(path), new_docs, text_col, k, bands, max_bucket_size
     )
 
 
@@ -325,24 +349,7 @@ def minhash_lsh_pairs(
         )
     sigs = minhash_signatures(df, text_col, k)
     banded = banded_rows(sigs, k, bands)
-    if max_bucket_size is not None:
-        sizes = (
-            banded.groupBy("band", "bucket")
-            .agg(F.count("*").alias("__bs"))
-            .where(F.col("__bs") <= max_bucket_size)
-            .drop("__bs")
-        )
-        banded = banded.join(sizes, ["band", "bucket"], "left_semi")
-    a = banded.alias("a")
-    b_ = banded.alias("b")
-    return (
-        a.join(b_, ["band", "bucket"])
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count("*").alias("n_shared_bands"))
-    )
+    return _pairs_from_banded(banded, max_bucket_size)
 
 
 def ngram_jaccard_pairs(

@@ -69,7 +69,8 @@ class CrawlResult:
 # state tables flushed per wave; lineage last = commit marker
 _DELTA_TABLES = (
     "fetch_batches", "visited", "seen", "frontier",
-    "edges", "robots_blocked", "fetch_failed", "lineage",
+    "edges", "robots_blocked", "fetch_failed",
+    "dedup_index", "dup_pairs", "lineage",
 )
 
 
@@ -91,6 +92,8 @@ class WaveRunner:
         rank_every: int = 1,
         compact_every: int = 0,
         fetch_failures: DataFrame | None = None,
+        dedup: bool = False,
+        dedup_max_bucket: int | None = None,
     ):
         self.spark = spark
         self.config = config
@@ -155,10 +158,23 @@ class WaveRunner:
         # page is admissible only from the FIRST successfully processed
         # page, which with fetch failures is not necessarily in wave 0
         self._any_fetched = False
+        # in-loop near-dup detection (dedup=True): the wave's fetched
+        # page texts are MinHash-banded, probed against the
+        # loop-accumulated index (new-vs-corpus AND within-wave pairs,
+        # operators/dedup.py:lsh_pairs_vs_index_df), and the banded rows
+        # are appended to the index — both as ordinary per-wave delta
+        # tables, so resume rolls the index back in lockstep with seen/
+        # frontier and a re-run wave probes exactly the pre-crash
+        # corpus. Per wave this costs one signature pass over the
+        # batch's text (O(|batch|), never the corpus) + one broadcast-
+        # pruned bucket join.
+        self.dedup = dedup
+        self.dedup_max_bucket = dedup_max_bucket
         # cumulative in-memory state (lineage-cut per wave)
         self._state: dict[str, DataFrame | None] = {
             "seen": None, "visited": None, "frontier": None,
             "robots_blocked": None, "fetch_failed": None,
+            "dedup_index": None,
         }
         # per-wave deltas not yet flushed: (table, partition_wave, df,
         # commit_group) — commit_group is the wave that PRODUCED the
@@ -468,6 +484,52 @@ class WaveRunner:
 
             links = trap_filter(links, threshold=self.config.trap_threshold)
 
+        if self.dedup:
+            from kryptone_spark.operators import dedup as _dedup
+            from kryptone_spark.operators.extract import page_text
+
+            t_dd = time.perf_counter()
+            # fetched pages' text (missing doc ⇒ NULL text ⇒ skipped);
+            # doc_id = url — unique across waves (visited anti-join), so
+            # the index never holds two banded copies of one page
+            batch_text = page_text(
+                docs.select(F.col("url").alias("doc_id"), "spans")
+            ).where(F.col("text").isNotNull() & (F.col("text") != ""))
+            # eager: three consumers (probe plan, state union, delta
+            # write on the flush thread) — a lazy checkpoint raced by
+            # flush threads would run the signature pass per consumer
+            banded_new = _dedup.banded_rows(
+                _dedup.minhash_signatures(batch_text)
+            ).localCheckpoint(eager=True)
+            idx = self._state["dedup_index"]
+            if idx is not None:
+                pairs = _dedup.lsh_pairs_vs_index_df(
+                    idx, batch_text,
+                    max_bucket_size=self.dedup_max_bucket,
+                    banded_new=banded_new,
+                )
+            else:  # first wave with any text: within-batch pairs only
+                pairs = _dedup._pairs_from_banded(
+                    banded_new, self.dedup_max_bucket
+                )
+            self._queue_flush(
+                "dup_pairs", wave,
+                pairs.select(
+                    "doc_a", "doc_b", "n_shared_bands",
+                    F.lit(wave).alias("wave"),
+                ),
+                group=wave,
+            )
+            self._append_state("dedup_index", banded_new)
+            self._queue_flush(
+                "dedup_index", wave,
+                banded_new.select(
+                    "doc_id", "band", "bucket", F.lit(wave).alias("wave")
+                ),
+                group=wave,
+            )
+            self.phase_seconds["dedup"] += time.perf_counter() - t_dd
+
         # home page admissible only from the first-ever processed page
         # (iteration_count semantics, base.py:706-717); the politeness
         # window orders by url, so the anchor is the wave's minimum
@@ -720,13 +782,15 @@ class WaveRunner:
         for t in ("seen", "frontier"):
             self.io.drop_waves_after(t, next_wave)
         for t in ("visited", "fetch_batches", "edges", "lineage",
-                  "robots_blocked", "fetch_failed"):
+                  "robots_blocked", "fetch_failed",
+                  "dedup_index", "dup_pairs"):
             self.io.drop_waves_after(t, next_wave - 1)
         if next_wave == 0:
             return self.run(max_waves=max_waves)
         # read each committed table ONCE (re-reading re-globs hundreds
         # of wave dirs and rebuilds the union plan per consumer)
-        for t in ("seen", "frontier", "visited", "robots_blocked", "fetch_failed"):
+        for t in ("seen", "frontier", "visited", "robots_blocked",
+                  "fetch_failed", "dedup_index"):
             df = self.io.read(t)
             if df is not None:
                 self._state[t] = df.drop("wave").localCheckpoint(eager=False)

@@ -670,3 +670,91 @@ def test_resume_with_failures_and_budget_parity(spark, site, tmp_path):
         for r in io2.read("fetch_failed").collect()
     )
     assert eng_failed == sorted(state.failed_attempts)
+
+
+def _text_page(url, links, text):
+    spans = [{"kind": "text", "text": text, "media_ref": "", "offset": 0}] + [
+        {"kind": "link", "text": "", "media_ref": l, "offset": i + 1}
+        for i, l in enumerate(links)
+    ]
+    return {"doc_id": url, "spans": spans}
+
+
+def test_dedup_in_loop_flags_duplicate_pages(spark, tmp_path):
+    """Opt-in in-loop near-dup stage: each wave's fetched page texts are
+    probed against the loop-maintained MinHash-LSH index — a page whose
+    text duplicates an EARLIER wave's page is flagged in the wave it was
+    fetched, a within-wave duplicate in that same wave, and the
+    accumulated dup_pairs table equals the batch operator run over all
+    fetched texts (no pair missed, none emitted twice)."""
+    from kryptone_spark.operators import dedup
+
+    base = "http://dup.test"
+    boiler = "the quick brown fox jumps over the lazy dog again and again " * 3
+    site = [
+        _text_page(f"{base}/", [f"{base}/a", f"{base}/b"],
+                   "home page with its own unique words and phrasing"),
+        _text_page(f"{base}/a", [f"{base}/c"], boiler),
+        _text_page(f"{base}/b", [], boiler),
+        _text_page(f"{base}/c", [], boiler),
+    ]
+    config = CrawlConfig(start_urls=[f"{base}/"])
+    io = TableIO(spark, str(tmp_path / "dd"))
+    runner = WaveRunner(spark, config, site_df(spark, site), io, dedup=True)
+    runner.run()
+
+    fetched_wave = {r["url"]: r["wave"] for r in io.read("fetch_batches").collect()}
+    assert fetched_wave[f"{base}/a"] == 1 and fetched_wave[f"{base}/c"] == 2
+
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["n_shared_bands"], r["wave"])
+        for r in io.read("dup_pairs").collect()
+    }
+    ab = (f"{base}/a", f"{base}/b")
+    ac = (f"{base}/a", f"{base}/c")
+    bc = (f"{base}/b", f"{base}/c")
+    assert set(got) == {ab, ac, bc}
+    # identical text shares every band; flagged in the LATER page's wave
+    assert got[ab] == (dedup.LSH_BANDS, 1)
+    assert got[ac] == (dedup.LSH_BANDS, 2)
+    assert got[bc] == (dedup.LSH_BANDS, 2)
+
+    # accumulated pairs == one batch LSH pass over all fetched texts
+    from kryptone_spark.operators.extract import page_text
+
+    texts = page_text(site_df(spark, site)).where(F.col("text") != "")
+    want = {
+        (r["doc_a"], r["doc_b"]): r["n_shared_bands"]
+        for r in dedup.minhash_lsh_pairs(texts).collect()
+    }
+    assert {k: v[0] for k, v in got.items()} == want
+
+
+def test_dedup_in_loop_resume_parity(spark, tmp_path):
+    """The loop-maintained index is ordinary per-wave delta state: a
+    crawl killed mid-way and resumed must reach the identical dup_pairs
+    table — the re-run wave probes exactly the pre-crash corpus (the
+    rolled-back index never leaks future docs into an early probe)."""
+    base = "http://dupres.test"
+    boiler = "shared template text repeated on every product page here " * 3
+    site = [
+        _text_page(f"{base}/", [f"{base}/a"], "unique home"),
+        _text_page(f"{base}/a", [f"{base}/b"], boiler),
+        _text_page(f"{base}/b", [f"{base}/c"], "mid page distinct content"),
+        _text_page(f"{base}/c", [], boiler),
+    ]
+    config = CrawlConfig(start_urls=[f"{base}/"])
+
+    io_full = TableIO(spark, str(tmp_path / "full"))
+    WaveRunner(spark, config, site_df(spark, site), io_full, dedup=True).run()
+
+    io = TableIO(spark, str(tmp_path / "partial"))
+    WaveRunner(spark, config, site_df(spark, site), io, dedup=True).run(max_waves=2)
+    WaveRunner(spark, config, site_df(spark, site), io, dedup=True).resume()
+
+    for t in ("dup_pairs", "dedup_index"):
+        a = {tuple(r) for r in io_full.read(t).collect()}
+        b = {tuple(r) for r in io.read(t).collect()}
+        assert a == b, t
+    state = oracle.crawl(site, config)
+    assert_parity(io, state)
