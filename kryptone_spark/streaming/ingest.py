@@ -34,11 +34,14 @@ FETCH_RESULT = T.StructType(
 
 
 def fetch_results_stream(
-    spark: SparkSession, results_dir: str, late_threshold: str = "30 seconds"
+    spark: SparkSession,
+    results_dir: str,
+    late_threshold: str = "30 seconds",
+    max_files_per_trigger: int = 16,
 ) -> DataFrame:
     return (
         spark.readStream.schema(FETCH_RESULT)
-        .option("maxFilesPerTrigger", 16)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .json(results_dir)
         .withWatermark("fetch_ts", late_threshold)
     )
@@ -149,6 +152,102 @@ def dedup_results_stream(stream: DataFrame, key: str = "url") -> DataFrame:
     sets one).
     """
     return stream.dropDuplicatesWithinWatermark([key])
+
+
+def run_crawl_ingest(
+    stream: DataFrame,
+    documents: DataFrame,
+    config,
+    io: TableIO,
+    checkpoint_dir: str,
+    n_buckets: int = 64,
+):
+    """Streaming-driven crawl-state maintenance: external fetchers
+    stream back (url, fetch_ts, status) results and each micro-batch is
+    folded through the SAME admission pipeline the batch wave loop uses
+    — visited ∪= successful fetches, links = batch ⋈ documents,
+    seen ∪= admit(links, seen, visited_pre) — committed idempotently
+    per batch id (``seen_stream`` / ``visited_stream`` delta tables).
+
+    Parity contract (tests/test_sources_sinks_streaming.py): a stream
+    delivering the wave loop's own fetch batches in crawl order reaches
+    the SAME final seen (url, verdict) and visited sets as the batch
+    loop / the Python oracle replay — per-URL admission verdicts are
+    order-deterministic, and the home-rule anchor (first SUCCESSFUL
+    fetch = the lexicographically-first ok URL of the first non-empty
+    batch) matches the wave loop's because results arrive in crawl
+    order. Failed fetches (status ≥ 400) consume no visited row and
+    contribute no links, exactly like the wave loop's failure channel;
+    re-delivered results collapse via the same anti-joins that make
+    P12 a set union.
+    """
+    from kryptone_spark.operators import admission
+
+    state: dict = {"seen": None, "visited": None, "any_fetched": False}
+
+    def _seed() -> None:
+        spark = documents.sparkSession
+        seeds = list(dict.fromkeys(config.start_urls))
+        df = spark.createDataFrame([(u,) for u in seeds], "url string")
+        admitted = admission.admit(df, config, allow_home=True)
+        rows = admitted.select(
+            "url", "domain_bucket",
+            F.lit(0).alias("first_wave"), F.col("verdict"),
+        ).localCheckpoint(eager=True)
+        state["seen"] = rows
+        io.write_wave("seen_stream", rows, 0)
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        if state["seen"] is None:
+            _seed()
+        ok = batch_df.where(F.col("status") < 400).select("url").distinct()
+        visited = state["visited"]
+        if visited is not None:  # re-delivery: visited is a set
+            ok = ok.join(visited.select("url"), "url", "left_anti")
+        ok = ok.localCheckpoint(eager=True)
+        anchor: bool | str = False
+        if not state["any_fetched"]:
+            first = ok.agg(F.min("url").alias("u")).collect()[0]["u"]
+            if first is not None:
+                anchor, state["any_fetched"] = first, True
+        visited_rows = ok.select(
+            "url", U.domain_bucket(U.host(F.col("url")), n_buckets).alias("domain_bucket")
+        )
+        links = (
+            ok.join(documents.withColumnRenamed("doc_id", "url"), "url", "left")
+            .select(F.col("url").alias("src_url"), F.explode_outer("spans").alias("s"))
+            .where(F.col("s.kind") == "link")
+            .select("src_url", F.col("s.media_ref").alias("url"))
+        )
+        seen = state["seen"]
+        admitted = admission.admit(
+            links, config, seen=seen.select("url"),
+            visited=visited.select("url") if visited is not None else None,
+            allow_home=anchor,
+        )
+        per_url = admitted.groupBy("url", "domain_bucket").agg(
+            F.max(F.col("verdict") == "valid").alias("is_valid"),
+        )
+        seen_rows = per_url.select(
+            "url", "domain_bucket",
+            F.lit(int(batch_id) + 1).alias("first_wave"),
+            F.when(F.col("is_valid"), F.lit("valid"))
+            .otherwise(F.lit("rejected")).alias("verdict"),
+        ).join(seen.select("url"), "url", "left_anti").localCheckpoint(eager=True)
+        visited_rows = visited_rows.localCheckpoint(eager=True)
+        state["seen"] = seen.unionByName(seen_rows)
+        state["visited"] = (
+            visited_rows if visited is None else visited.unionByName(visited_rows)
+        )
+        io.write_wave("visited_stream", visited_rows, int(batch_id) + 1)
+        io.write_wave("seen_stream", seen_rows, int(batch_id) + 1)
+
+    return (
+        stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
 
 
 def run_visited_merge(

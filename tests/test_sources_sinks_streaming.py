@@ -568,3 +568,74 @@ def test_warc_gz_damaged_tail_keeps_clean_prefix(spark, tmp_path):
         }
         for url, body in recs:
             assert bytes(rows[url]["body"]) == body, url
+
+
+def test_streaming_crawl_ingest_matches_batch_loop(spark, tmp_path):
+    """Streaming-ingest crawl parity: external fetchers stream back the
+    wave loop's own fetch results across micro-batches (one file per
+    wave, plus a duplicate re-delivery); folding each micro-batch
+    through the shared admission pipeline must reach the SAME final
+    seen (url, verdict) and visited sets as the batch loop and the
+    Python oracle replay."""
+    import os
+    import time as _time
+
+    from kryptone_spark.config import CrawlConfig
+    from kryptone_spark.plans.tableio import TableIO
+    from kryptone_spark.plans.waves import WaveRunner
+    from kryptone_spark.streaming import ingest
+    from kryptone_spark.synth import site_df, synth_site
+    from tests import oracle
+
+    site = synth_site(n_domains=2, n_products=10, page_size=4, seed=13)
+    config = CrawlConfig(start_urls=["http://sitea.test/"], ignore_images=True)
+
+    io_b = TableIO(spark, str(tmp_path / "batch"))
+    WaveRunner(spark, config, site_df(spark, site), io_b).run()
+    fb = io_b.read("fetch_batches").select("wave", "url", "fetch_at").collect()
+    by_wave = {}
+    for r in fb:
+        by_wave.setdefault(r["wave"], []).append(r)
+
+    def result_row(r, status=200):
+        return {
+            "url": r["url"],
+            "fetch_ts": r["fetch_at"].strftime("%Y-%m-%dT%H:%M:%S.000Z"),
+            "status": status,
+            "n_links": None,
+        }
+
+    results = tmp_path / "results"
+    results.mkdir()
+    t0 = _time.time()
+    for w in sorted(by_wave):
+        p = results / f"w{w:03d}.json"
+        p.write_text("\n".join(json.dumps(result_row(r)) for r in by_wave[w]))
+        os.utime(p, (t0 + w, t0 + w))
+    # at-least-once delivery: wave 0's results arrive AGAIN at the end
+    p = results / "zz_redeliver.json"
+    p.write_text("\n".join(json.dumps(result_row(r)) for r in by_wave[0]))
+    os.utime(p, (t0 + 1000, t0 + 1000))
+
+    io_s = TableIO(spark, str(tmp_path / "streamstate"))
+    stream = ingest.fetch_results_stream(
+        spark, str(results), max_files_per_trigger=1
+    )
+    q = ingest.run_crawl_ingest(
+        stream, site_df(spark, site), config, io_s, str(tmp_path / "ckpt_crawl")
+    )
+    q.awaitTermination(300)
+
+    state = oracle.crawl(site, config)
+    visited = {r["url"] for r in io_s.read("visited_stream").collect()}
+    assert visited == state.visited
+    assert visited == {r["url"] for r in io_b.read("visited").collect()}
+    # visited is a SET even under re-delivery
+    assert io_s.read("visited_stream").count() == len(visited)
+
+    got = {}
+    for r in sorted(io_s.read("seen_stream").collect(), key=lambda r: r["first_wave"]):
+        got.setdefault(r["url"], r["verdict"])
+    assert set(got) == state.seen
+    for u, v in got.items():
+        assert state.seen_verdicts[u] == v, u
