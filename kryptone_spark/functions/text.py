@@ -85,20 +85,50 @@ def _script_translit() -> dict[int, str]:
     return _SCRIPT_TRANSLIT
 
 
+_CJK_TRANSLIT: dict[int, str] | None = None
+
+
+def _cjk_translit() -> dict[int, str]:
+    """The CJK slice (codepoint ≥ U+3040) of the vendored table — the
+    pre-NFKD pass. Only kana need translating BEFORE the NFKD fold
+    (voiced kana are precomposed; NFKD splits them into base +
+    combining voicing mark, and the mark strip would devoice が→ka);
+    restricting the early pass to this range keeps the r3 Cyrillic/
+    Greek contract byte-identical (e.g. precomposed ї still decomposes
+    to і before the table fires)."""
+    global _CJK_TRANSLIT
+    if _CJK_TRANSLIT is None:
+        _CJK_TRANSLIT = {
+            cp: a for cp, a in _script_translit().items() if cp >= 0x3040
+        }
+    return _CJK_TRANSLIT
+
+
 @pandas_udf(StringType())
 def remove_accents(s: pd.Series) -> pd.Series:
     """text.py:111-113 — transliterate to ASCII. NFKD + combining-mark
     strip covers every composed Latin accent; _NON_DECOMPOSABLE covers
     the Latin letters with no decomposition — together unidecode-
     identical for European Latin text (guarantee pinned by
-    test_remove_accents_european_corpus). Cyrillic/Greek romanize via
-    the vendored table; CJK passes through (documented divergence)."""
+    test_remove_accents_european_corpus). Cyrillic/Greek/kana/Hangul/
+    common hanzi romanize via the vendored table (r4 adds the CJK
+    sections; rare hanzi outside the vendored set pass through — pinned
+    divergence, test_remove_accents_cjk). The table applies TWICE:
+    before the NFKD fold (voiced kana are precomposed; NFKD would split
+    them into base + combining voicing mark and the mark strip would
+    silently devoice が→ka) and after it (Hangul syllables only become
+    table-mapped jamo, and ё-style precomposed Cyrillic only becomes a
+    base letter, once NFKD has run). Table values are pure ASCII, so
+    the second pass never re-touches first-pass output. The pre-pass is
+    restricted to the CJK range so precomposed Cyrillic/Greek keep
+    their r3 decompose-first behavior."""
     script = _script_translit()
+    cjk = _cjk_translit()
 
     def _strip(x: str | None) -> str | None:
         if x is None:
             return None
-        folded = x.translate(_NON_DECOMPOSABLE)
+        folded = x.translate(_NON_DECOMPOSABLE).translate(cjk)
         stripped = "".join(
             c
             for c in unicodedata.normalize("NFKD", folded)

@@ -113,11 +113,14 @@ def test_remove_accents_ascii_invariant_for_covered_scripts(spark):
 
 
 def test_remove_accents_cjk_passthrough(spark):
-    """Documented divergence from the reference's unidecode (which
-    romanizes CJK to pinyin/romaji): CJK passes through unchanged.
-    This test pins the divergence so it stays deliberate."""
-    assert _one(spark, TXT.remove_accents, "日本語 text") == "日本語 text"
-    assert _one(spark, TXT.remove_accents, "中文 café") == "中文 cafe"
+    """Documented divergence from the reference's unidecode (full
+    Unihan coverage): only characters OUTSIDE the vendored CJK tables
+    pass through unchanged (r4 narrowed the divergence from all-CJK to
+    the unmapped tail). This test pins the remaining pass-through so it
+    stays deliberate."""
+    assert _one(spark, TXT.remove_accents, "日本語 text") == "Ri Ben 語 text"
+    assert _one(spark, TXT.remove_accents, "中文 café") == "Zhong Wen  cafe"
+    assert _one(spark, TXT.remove_accents, "龘 龘") == "龘 龘"
 
 
 def test_slugify_ascii_and_accented(spark):
@@ -139,3 +142,36 @@ def test_remove_punctuation_keep_and_email(spark):
         )
         == "x@ytest"
     )
+
+
+def test_remove_accents_cjk(spark):
+    """r4 CJK tail: kana (per-char Hepburn, voiced kana preserved across
+    the NFKD fold), Hangul (whole syllabary via NFKD jamo), curated
+    common-hanzi pinyin ('Pinyin ' unidecode convention); characters
+    outside the vendored set pass through — the pinned divergence."""
+    cases = [
+        ("にほんご", "nihongo"),
+        ("カタカナ", "katakana"),
+        # voiced kana must NOT devoice (NFKD splits が into か + mark)
+        ("がぎだバ", "gagidaba"),
+        # per-char table: small ョ maps like ヨ and the long-vowel mark
+        # drops — 'tokiyo', not the digraph-aware 'tokyo' (documented)
+        ("トーキョー", "tokiyo"),
+        ("한국", "hanguk"),
+        ("서울", "seoul"),
+        ("中国", "Zhong Guo "),
+        ("北京 2024", "Bei Jing  2024"),
+        ("汉字", "Han Zi "),
+        # outside the vendored hanzi set: pass-through (pinned)
+        ("龘", "龘"),
+        # mixed script: Latin accent folds, mapped hanzi romanizes,
+        # unmapped traditional 東 passes through — all in one string
+        ("café 東京", "cafe 東Jing "),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in cases], "t string")
+    got = {
+        r["t"]: r["out"]
+        for r in df.select("t", TXT.remove_accents(F.col("t")).alias("out")).collect()
+    }
+    for t, want in cases:
+        assert got[t] == want, (t, got[t], want)
