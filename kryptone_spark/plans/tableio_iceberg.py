@@ -63,13 +63,34 @@ class IcebergTableIO:
     def _exists(self, name: str) -> bool:
         return self.spark.catalog.tableExists(self._t(name))
 
+    # commit-conflict retry budget: Iceberg uses optimistic concurrency
+    # — a concurrent writer (a metrics exporter, a late compaction, a
+    # zombie executor from a pre-crash attempt) can win the snapshot
+    # CAS and fail this commit with CommitFailedException. The wave
+    # commit is safe to retry blindly: overwrite(wave == k) is
+    # idempotent (it replaces exactly wave k however many times it
+    # runs), which also makes CommitStateUnknownException retryable —
+    # if the unknown commit actually landed, the retry just replaces
+    # the same rows.
+    COMMIT_RETRIES = 3
+    _RETRYABLE = ("CommitFailedException", "CommitStateUnknownException")
+
+    def _retryable(self, exc: Exception) -> bool:
+        s = f"{type(exc).__name__}: {exc}"
+        return any(m in s for m in self._RETRYABLE)
+
     # -- contract ----------------------------------------------------------
     def write_wave(self, name: str, df: DataFrame, wave: int) -> None:
         """Idempotent per-wave commit: one atomic snapshot replaces
         exactly the rows of wave k (a crashed earlier attempt included
         — there is no partial-partition residue to heal, unlike dynamic
         ``overwritePartitions`` which only replaces the buckets the new
-        attempt happens to touch)."""
+        attempt happens to touch). The commit stamps ``wave`` into the
+        snapshot summary (``snapshot-property.wave``), giving the
+        snapshot-id ↔ wave mapping ``wave_snapshots`` reads back — the
+        Iceberg twin of the parquet binding's per-wave _SUCCESS dirs.
+        Optimistic-concurrency conflicts retry up to COMMIT_RETRIES
+        (see above); a non-conflict failure propagates immediately."""
         if "wave" in df.columns:
             df = df.drop("wave")
         df = df.withColumn("wave", F.lit(int(wave)).cast("int"))
@@ -78,9 +99,22 @@ class IcebergTableIO:
             parts = [F.col("wave")]
             if "domain_bucket" in df.columns:
                 parts.append(F.col("domain_bucket"))
-            df.writeTo(t).using("iceberg").partitionedBy(*parts).create()
-        else:
-            df.writeTo(t).overwrite(F.col("wave") == int(wave))
+            df.writeTo(t).using("iceberg").option(
+                "snapshot-property.wave", str(int(wave))
+            ).partitionedBy(*parts).create()
+            return
+        last: Exception | None = None
+        for _ in range(self.COMMIT_RETRIES + 1):
+            try:
+                df.writeTo(t).option(
+                    "snapshot-property.wave", str(int(wave))
+                ).overwrite(F.col("wave") == int(wave))
+                return
+            except Exception as e:  # noqa: BLE001 — classified below
+                if not self._retryable(e):
+                    raise
+                last = e
+        raise last
 
     def read(self, name: str, schema=None) -> DataFrame | None:
         """Current-snapshot scan. ``schema`` is accepted for signature
@@ -131,9 +165,57 @@ class IcebergTableIO:
             )
         return 0
 
-    def drop_waves_after(self, name: str, wave: int) -> None:
-        """Rollback: an atomic, partition-boundary DELETE (metadata-only
-        in Iceberg — manifests drop whole wave partitions)."""
+    def wave_snapshots(self, name: str) -> list[tuple[int, int]]:
+        """(wave, snapshot_id) pairs in commit order — the snapshot-id ↔
+        wave mapping from the summary property ``write_wave`` stamps.
+        One wave can map to several snapshots (conflict retries, resume
+        re-runs): the LAST snapshot for a wave is its committed state.
+        Maintenance commits (compaction, expire) carry no wave property
+        and are excluded."""
+        if not self._exists(name):
+            return []
+        rows = self.spark.sql(
+            f"SELECT snapshot_id, summary['wave'] AS wave "
+            f"FROM {self._t(name)}.snapshots "
+            f"WHERE summary['wave'] IS NOT NULL ORDER BY committed_at"
+        ).collect()
+        return [(int(r["wave"]), int(r["snapshot_id"])) for r in rows]
+
+    def drop_waves_after(self, name: str, wave: int, via: str = "delete") -> None:
+        """Rollback. ``via='delete'`` (default): an atomic,
+        partition-boundary DELETE (metadata-only in Iceberg — manifests
+        drop whole wave partitions); always correct, leaves history
+        intact for time travel. ``via='rollback'``: rewind the table
+        pointer to the LAST snapshot whose stamped wave ≤ ``wave``
+        (``rollback_to_snapshot`` — O(1) pointer swap, and the dropped
+        waves' data files are reclaimed by the next expire). Rollback
+        is only sound when every later snapshot is a to-be-dropped wave
+        write — the crash-resume case; if ANY snapshot is not
+        wave-stamped (e.g. a compaction — which, if it ran after the
+        target wave, rewinding would undo too), the method
+        conservatively falls back to DELETE."""
         if not self._exists(name):
             return
+        if via == "rollback":
+            snaps = self.wave_snapshots(name)
+            keep = [sid for w, sid in snaps if w <= wave]
+            dropped_ids = {sid for w, sid in snaps if w > wave}
+            all_ids = {
+                int(r["snapshot_id"])
+                for r in self.spark.sql(
+                    f"SELECT snapshot_id FROM {self._t(name)}.snapshots"
+                ).collect()
+            }
+            unstamped = all_ids - {sid for _, sid in snaps}
+            if keep and not unstamped:
+                tbl = f"{self.namespace}.{self.prefix}{name}"
+                self.spark.sql(
+                    f"CALL {self.catalog}.system.rollback_to_snapshot"
+                    f"(table => '{tbl}', snapshot_id => {keep[-1]})"
+                )
+                return
+            if not keep and dropped_ids:
+                # nothing to keep: fall through to DELETE (a table
+                # cannot roll back to 'before its first snapshot')
+                pass
         self.spark.sql(f"DELETE FROM {self._t(name)} WHERE wave > {int(wave)}")
