@@ -173,10 +173,17 @@ def synth_frontier_df(
     n_domains: int = 1000,
     hot_domain_share: float = 0.8,
     seed: int = 42,
+    start: int = 0,
 ) -> DataFrame:
     """Distributed synthetic frontier for throughput benchmarks: built
     with sequence/explode entirely JVM-side (no Python in the loop).
-    ``hot_domain_share`` of URLs land on domain 0 (hot-domain skew)."""
+    ``hot_domain_share`` of URLs land on domain 0 (hot-domain skew).
+    ``start`` offsets the id range: the URL for a given (id, n_domains,
+    seed, hot cutoff) is a pure function of the id, so two calls with
+    overlapping id ranges emit IDENTICAL urls for the shared ids — the
+    membership-soak generator (tools/soak_seen.py) relies on this to
+    synthesize candidate batches that straddle a seen table's boundary.
+    The hot cutoff stays ``n_urls * share`` counted from id 0."""
     hot = int(n_urls * hot_domain_share)
     if n_domains <= 1:
         cold_domain = F.lit("site0.test")  # pmod(_, 0) would divide by zero
@@ -186,7 +193,7 @@ def synth_frontier_df(
             (F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(n_domains - 1)) + 1).cast("string"),
             F.lit(".test"),
         )
-    df = spark.range(n_urls).withColumn(
+    df = spark.range(start, start + n_urls).withColumn(
         "domain",
         F.when(F.col("id") < hot, F.lit("site0.test")).otherwise(cold_domain),
     )
@@ -198,3 +205,80 @@ def synth_frontier_df(
         F.lit(0).alias("discovered_wave"),
         F.lit(0.0).alias("priority"),
     )
+
+
+def synth_big_site_df(
+    spark: SparkSession,
+    n_products: int,
+    n_list_pages: int = 10,
+    domain: str = "siteb.test",
+    text_words: int = 12,
+) -> DataFrame:
+    """Spark-side ~10^5-10^6-page site for wave-loop THROUGHPUT
+    benches: home → ``n_list_pages`` hub pages → ``n_products`` product
+    leaves, built entirely with ``sequence``/``explode``/``transform``
+    (no driver-side row list — the 100k-page documents table never
+    exists in Python). BFS waves: 0 = home (1 page), 1 = hubs,
+    2 = products — one wave of 10^4-10^6 URLs, the shape that measures
+    per-wave throughput rather than pagination depth. Product text is a
+    deterministic function of the product id (distinct per page, so
+    content ops see no accidental dup cliff)."""
+    base = f"http://{domain}"
+    span = lambda kind, text, ref, off: F.struct(
+        kind.alias("kind"),
+        text.alias("text"),
+        ref.alias("media_ref"),
+        off.cast("int").alias("offset"),
+    )
+    home = spark.range(1).select(
+        F.lit(f"{base}/").alias("doc_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_list_pages - 1)),
+            lambda i: span(
+                F.lit("link"),
+                F.lit(""),
+                F.concat(F.lit(f"{base}/list-"), i.cast("string")),
+                i,
+            ),
+        ).alias("spans"),
+    )
+    per_hub = (n_products + n_list_pages - 1) // n_list_pages
+    hubs = spark.range(n_list_pages).select(
+        F.concat(F.lit(f"{base}/list-"), F.col("id").cast("string")).alias("doc_id"),
+        F.transform(
+            F.sequence(
+                F.col("id") * per_hub,
+                F.least(F.col("id") * per_hub + per_hub - 1, F.lit(n_products - 1)),
+            ),
+            lambda k, i: span(
+                F.lit("link"),
+                F.lit(""),
+                F.concat(F.lit(f"{base}/product-"), k.cast("string")),
+                i,
+            ),
+        ).alias("spans"),
+    ).where(F.size("spans") > 0)
+    words = F.array(*[F.lit(w) for w in PLAIN_WORDS])
+    nw = len(PLAIN_WORDS)
+    products = spark.range(n_products).select(
+        F.concat(F.lit(f"{base}/product-"), F.col("id").cast("string")).alias("doc_id"),
+        F.array(
+            span(
+                F.lit("text"),
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(text_words - 1)),
+                        lambda i: F.element_at(
+                            words,
+                            (F.pmod(F.xxhash64(F.col("id") * 31 + i), F.lit(nw)) + 1).cast("int"),
+                        ),
+                    ),
+                ),
+                F.lit(""),
+                F.lit(0),
+            ),
+            span(F.lit("email"), F.lit("sales@example.com"), F.lit(""), F.lit(1)),
+        ).alias("spans"),
+    )
+    return home.unionByName(hubs).unionByName(products)

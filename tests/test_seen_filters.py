@@ -350,3 +350,26 @@ def test_merge_sidecars_rejects_mixed_paths(spark):
     with _pytest.raises(TypeError, match="SAME path"):
         merge_sidecars(df, [{"domain_bucket": 0}])
     assert merge_sidecars([1], [2]) == [1, 2]
+
+
+def test_synth_frontier_start_offset_identity(spark):
+    """tools/soak_seen.py synthesizes candidate batches that straddle a
+    seen table's id boundary: a start-offset call must emit IDENTICAL
+    urls for shared ids (url is a pure function of the id)."""
+    from kryptone_spark.synth import synth_frontier_df
+
+    full = {
+        r["url"]
+        for r in synth_frontier_df(
+            spark, 150, n_domains=10, hot_domain_share=0.0
+        ).collect()
+    }
+    tail = [
+        r["url"]
+        for r in synth_frontier_df(
+            spark, 100, n_domains=10, hot_domain_share=0.0, start=100
+        ).collect()
+    ]
+    assert len(tail) == 100
+    overlap = [u for u in tail if u in full]
+    assert len(overlap) == 50  # ids 100..199 ∩ ids 0..149 = 100..149
