@@ -157,3 +157,23 @@ def test_torn_write_is_not_committed(spark, tmp_path):
     torn.mkdir(parents=True)
     (torn / "_temporary").mkdir()
     assert io.committed_waves("lineage") == [0, 1]
+
+
+def test_incremental_dedup_probe_plan(spark):
+    """The in-loop dedup probe's plan promises: the INDEX side is
+    pruned by a BROADCAST semi-join on the batch's buckets before the
+    pair join (the corpus never rides a shuffle keyed on anything the
+    batch didn't touch), and no global window appears anywhere."""
+    from kryptone_spark.operators import dedup
+
+    idx = spark.createDataFrame(
+        [(f"d{i}", i % 4, f"b{i % 7}") for i in range(100)],
+        "doc_id string, band int, bucket string",
+    )
+    new = spark.createDataFrame(
+        [("n1", "some new text here"), ("n2", "other text body")],
+        "doc_id string, text string",
+    )
+    plan = plan_of(dedup.lsh_pairs_vs_index_df(idx, new))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "Window" not in plan
