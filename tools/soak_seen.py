@@ -16,10 +16,19 @@ tests. This soak:
    raise (caught and recorded), nothing OOMs;
 3. builds the TABLE sidecar (bits never touch the driver), persists it
    partitioned on domain_bucket;
-4. runs one full wave over an N_CAND-link candidate batch (half of
-   which are genuinely seen): politeness schedule -> bloom_prefilter
-   with the table sidecar (probe cogroup -> admission -> seen
-   anti-join on the maybe-slice only) — and measures URLs/s;
+4. measures the membership path piecewise over an N_CAND-link
+   candidate batch (half genuinely seen): (a) the table-sidecar probe
+   alone (comparable to the cuckoo leg), (b) the EXACT anti-join
+   authority against the plain partitioned-parquet seen table — the
+   leg that re-shuffles all N_SEEN rows — vs (c) the same join against
+   a BUCKETED seen table (plans/bucketed.py: hash-clustered on url at
+   write time, state-side Exchange eliminated; survivor parity and
+   exchange counts asserted), and (d) one full politeness-schedule ->
+   bloom_prefilter admission wave end-to-end. ``rejected_as_seen``
+   comes from leg (b)/(c) — the admission wave's reject_reason labels
+   off-domain candidates 'domain' before 'seen' (single-site config,
+   multi-domain synth), so the wave's own label can't see the
+   membership rejections;
 5. asserts probe parity on a sampled bucket: the table cogroup's
    might_seen must equal the broadcast probe run on that bucket alone,
    and must have ZERO false negatives vs exact membership;
@@ -84,6 +93,7 @@ def main() -> None:
         .config("spark.driver.memory", os.environ.get("SOAK_DRIVER_MEM", "72g"))
         .config("spark.driver.maxResultSize", "4g")
         .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.warehouse.dir", f"{WORK}/warehouse")
         .config("spark.local.dir", "/dev/shm/spark-soak")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
@@ -176,17 +186,84 @@ def main() -> None:
     out["schedule_sec"] = round(time.time() - t, 1)
     out["scheduled"] = n_sched
 
+    # 4a. table-sidecar probe ALONE (apples-to-apples with the cuckoo
+    # leg below — the full-wave number further down also carries the
+    # exact join + admission)
+    t = time.time()
+    might = (
+        probe_bloom_table(links, sidecar, config)
+        .agg(F.sum(F.col("might_seen").cast("long")).alias("h"))
+        .collect()[0]["h"]
+    )
+    wall = time.time() - t
+    out["bloom_probe_sec"] = round(wall, 1)
+    out["bloom_probe_urls_per_sec"] = round(N_CAND / wall)
+    out["bloom_might_seen"] = int(might or 0)
+
+    # 4b. EXACT anti-join authority, plain layout: the seen side is
+    # hash-exchanged in full — the per-wave cost that scales O(|seen|)
+    from kryptone_spark.plans.bucketed import (
+        is_bucketed_scan,
+        n_exchanges,
+        register_membership_bucketed,
+        save_membership_bucketed,
+    )
+
+    plain_join = links.join(seen_urls, "url", "left_anti")
+    t = time.time()
+    surv_plain = plain_join.count()
+    wall = time.time() - t
+    out["antijoin_plain_sec"] = round(wall, 1)
+    out["antijoin_plain_urls_per_sec"] = round(N_CAND / wall)
+    out["rejected_as_seen"] = N_CAND - surv_plain
+    assert out["rejected_as_seen"] > 0, "candidate batch straddles seen"
+
+    # 4c. the same join against the BUCKETED seen table: clustering on
+    # url at write time removes the state-side Exchange, so the wave
+    # moves O(|wave|) rows (plans/bucketed.py; one-time build cost
+    # amortized over every wave)
+    tbl_dir = f"{WORK}/warehouse/seen_bucketed"
+    t = time.time()
+    if os.path.exists(f"{tbl_dir}/_SUCCESS"):
+        seen_b = register_membership_bucketed(
+            spark, "seen_bucketed", tbl_dir, n_buckets=64
+        )
+    else:
+        import shutil
+
+        shutil.rmtree(tbl_dir, ignore_errors=True)  # partial prior write
+        save_membership_bucketed(seen_urls, "seen_bucketed", n_buckets=64)
+        out["bucketed_build_sec"] = round(time.time() - t, 1)
+        seen_b = spark.table("seen_bucketed")
+    bucketed_join = links.join(seen_b, "url", "left_anti")
+    t = time.time()
+    surv_bucketed = bucketed_join.count()
+    wall = time.time() - t
+    out["antijoin_bucketed_sec"] = round(wall, 1)
+    out["antijoin_bucketed_urls_per_sec"] = round(N_CAND / wall)
+    assert surv_bucketed == surv_plain, (
+        f"bucketed anti-join diverged: {surv_bucketed} vs {surv_plain}"
+    )
+    out["plain_exchanges"] = n_exchanges(plain_join)
+    out["bucketed_exchanges"] = n_exchanges(bucketed_join)
+    assert is_bucketed_scan(bucketed_join)
+    assert out["bucketed_exchanges"] < out["plain_exchanges"], (
+        "bucketed layout must eliminate the state-side exchange"
+    )
+
+    # 4d. full admission wave end-to-end (probe -> split -> admission
+    # incl. the exact join on the maybe slice). NOTE: the synth
+    # candidates are off-domain for this single-site config, so
+    # admission labels them 'domain' (which precedes 'seen' in the
+    # reference's predicate order) — membership rejection counts come
+    # from 4b/4c above, this leg measures wall only.
     t = time.time()
     admitted = bloom_prefilter(links, seen_urls, config, sidecar=sidecar)
-    agg = admitted.agg(
-        F.count("*").alias("n"),
-        F.sum((F.col("reject_reason") == "seen").cast("long")).alias("n_seen_rej"),
-    ).collect()[0]
+    n_admitted = admitted.count()
     wall = time.time() - t
     out["bloom_wave_sec"] = round(wall, 1)
     out["bloom_urls_per_sec"] = round(N_CAND / wall)
-    out["candidates_out"] = agg["n"]
-    out["rejected_as_seen"] = int(agg["n_seen_rej"] or 0)
+    out["candidates_out"] = n_admitted
 
     # -- 5. parity on a sampled bucket ---------------------------------
     cand_b = links.where(
