@@ -30,6 +30,16 @@ the authority table on its join key at write time; never let a wave
 re-shuffle it. The sandbox form uses the session catalog + parquet
 bucketed tables, which is what local deployments get for free.
 
+Why the sandbox wave loop does NOT switch its state tables to this
+layout: TableIO's resume/rollback contract is per-wave directory
+partitions (drop_waves_after = rm of wave dirs), and parquet bucketed
+tables can only append — a wave could not be rolled back. That is a
+limitation of the parquet stand-in only: Iceberg composes the
+bucket(N, url) transform WITH snapshot rollback (they're orthogonal
+there), so the deploy target gets both; in-sandbox the layout is
+exercised and measured standalone (tests/test_bucketed.py,
+tools/soak_seen.py).
+
 Reference parity note: the reference holds seen/visited as in-memory
 Python sets (/root/reference/kryptone/base.py:292-295), where layout
 is meaningless; this is the table-scale re-expression of the same
