@@ -101,8 +101,16 @@ def _sidecar_df(
         bits = np.zeros(m // 8, dtype=np.uint8)
         h1 = pdf["h1"].to_numpy().astype(np.uint64)
         h2 = pdf["h2"].to_numpy().astype(np.uint64) | np.uint64(1)
-        pos = _positions(h1, h2, k, m).ravel()
-        np.bitwise_or.at(bits, (pos // 8).astype(np.int64), (1 << (pos % 8)).astype(np.uint8))
+        # chunked bit-setting: the k x n position matrix is ~56 bytes/key
+        # at k=7 — a 10^8-scale bucket (6M+ keys after a 64-way split)
+        # would hold ~350 MB per pandas worker, and 32 concurrent
+        # workers OOMed the 128 GiB soak host. 1M-key slices cap the
+        # transient at ~56 MB with no semantic change.
+        for lo in range(0, len(h1), 1_000_000):
+            pos = _positions(h1[lo : lo + 1_000_000], h2[lo : lo + 1_000_000], k, m).ravel()
+            np.bitwise_or.at(
+                bits, (pos // 8).astype(np.int64), (1 << (pos % 8)).astype(np.uint8)
+            )
         return pd.DataFrame(
             {
                 "domain_bucket": [int(pdf["domain_bucket"].iloc[0])],
