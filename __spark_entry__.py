@@ -185,6 +185,36 @@ def q_seen_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_seen_antijoin_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 seen anti-join over the BUCKETED membership layout
+    (plans/bucketed.py): byte-identical verdicts to seen_antijoin —
+    the layout changes the PLAN (state-side Exchange eliminated; the
+    scan-level property is asserted here before returning), never the
+    answer. The merge hint pins the sort-merge shape at oracle scale,
+    where the tiny seen side would otherwise broadcast and leave the
+    bucketed scan unused. Reference: the in-memory seen set
+    (/root/reference/kryptone/base.py:292-295) re-expressed as a
+    url-clustered table."""
+    from kryptone_spark.functions import urls as U
+    from kryptone_spark.plans.bucketed import (
+        is_bucketed_scan,
+        save_membership_bucketed,
+    )
+
+    urls = _urls_from_orders(_load(spark, sf_dir, "orders"))
+    frontier = urls.where(F.col("k") % 10 >= 4).select("url")
+    seen = urls.where(F.col("k") % 2 == 0).select("url")
+    save_membership_bucketed(seen, "q_seen_bucketed", n_buckets=4)
+    joined = frontier.join(
+        spark.table("q_seen_bucketed").hint("merge"), "url", "left_anti"
+    )
+    assert is_bucketed_scan(joined), "bucketed layout must reach the scan"
+    return (
+        joined.groupBy(U.host(F.col("url")).alias("domain"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
 def q_url_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4/S6 URL generators: sweep ?page=1..10 per region seed."""
     region = _load(spark, sf_dir, "region")
@@ -2008,6 +2038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_admission": q_url_admission,
         "frontier_schedule": q_frontier_schedule,
         "seen_antijoin": q_seen_antijoin,
+        "seen_antijoin_bucketed": q_seen_antijoin_bucketed,
         "url_pagination": q_url_pagination,
         "url_decompose": q_url_decompose,
         "file_paths": q_file_paths,
@@ -2255,6 +2286,18 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rank_in_domain <= 8
         """,
         "seen_antijoin": f"""
+            WITH {URLS_CTE.strip()},
+            frontier AS (SELECT url, dn FROM urls WHERE k % 10 >= 4),
+            seen AS (SELECT url FROM urls WHERE k % 2 = 0)
+            SELECT 'site' || dn || '.test' AS domain,
+                   count(*) AS n
+            FROM frontier
+            WHERE NOT EXISTS (SELECT 1 FROM seen WHERE seen.url = frontier.url)
+            GROUP BY domain
+        """,
+        # the bucketed layout must give byte-identical verdicts — the
+        # oracle is deliberately the SAME anti-join semantics
+        "seen_antijoin_bucketed": f"""
             WITH {URLS_CTE.strip()},
             frontier AS (SELECT url, dn FROM urls WHERE k % 10 >= 4),
             seen AS (SELECT url FROM urls WHERE k % 2 = 0)
