@@ -34,6 +34,17 @@ contract tests run both against the same mock transcript):
 
 Unlike the parquet twin there is no crash-window protocol to hand-roll
 — every mutation above is a single snapshot-pointer swap.
+
+Membership-table layout at deploy time: declare the seen/visited
+tables ``PARTITIONED BY (bucket(64, url))`` and read them under
+``spark.sql.sources.v2.bucketing.enabled`` — the storage-partitioned
+join then drops the state-side Exchange under the per-wave exact
+anti-join, exactly the property ``plans/bucketed.py`` implements (and
+tools/soak_seen.py measures: 13.5x at 4x10^8 keys) over parquet
+bucketed tables in-sandbox. On Iceberg the bucket transform composes
+with snapshot rollback, so ``drop_waves_after`` keeps working — the
+parquet stand-ins can offer one or the other, not both (bucketed.py
+docstring).
 """
 
 from __future__ import annotations
