@@ -204,6 +204,22 @@ def q_seen_antijoin_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     urls = _urls_from_orders(_load(spark, sf_dir, "orders"))
     frontier = urls.where(F.col("k") % 10 >= 4).select("url")
     seen = urls.where(F.col("k") % 2 == 0).select("url")
+    # the session catalog is in-memory but the warehouse dir persists:
+    # a dir orphaned by a previous session makes CREATE refuse with
+    # LOCATION_ALREADY_EXISTS — drop both the entry and the orphan
+    # (its contents may be another scale factor's data, so re-attach
+    # would be wrong)
+    spark.sql("DROP TABLE IF EXISTS q_seen_bucketed")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "")
+    if wh.startswith("file:"):
+        import os
+        import shutil
+        import urllib.parse as _up
+
+        shutil.rmtree(
+            os.path.join(_up.unquote(_up.urlparse(wh).path), "q_seen_bucketed"),
+            ignore_errors=True,
+        )
     save_membership_bucketed(seen, "q_seen_bucketed", n_buckets=4)
     joined = frontier.join(
         spark.table("q_seen_bucketed").hint("merge"), "url", "left_anti"
