@@ -59,6 +59,10 @@ N_CAND = int(os.environ.get("SOAK_CAND_N", str(10_000_000)))
 N_CUCKOO = int(os.environ.get("SOAK_CUCKOO_N", str(100_000_000)))
 WORK = os.environ.get("SOAK_DIR", "/root/soak_seen")
 SAMPLE_BUCKET = 7
+# re-measure single legs against cached tables without re-paying the
+# ~7-min broadcast-refusal build / parity collects already evidenced
+SKIP_REFUSAL = os.environ.get("SOAK_SKIP_REFUSAL", "") == "1"
+SKIP_PARITY = os.environ.get("SOAK_SKIP_PARITY", "") == "1"
 
 
 def jvm_peak_rss_gib() -> float:
@@ -140,7 +144,9 @@ def main() -> None:
     expected_bits = N_SEEN * 12 // 8
     out["expected_sidecar_mib"] = expected_bits >> 20
     out["broadcast_ceiling_mib"] = BLOOM_BROADCAST_MAX_BYTES >> 20
-    if expected_bits > BLOOM_BROADCAST_MAX_BYTES:
+    if SKIP_REFUSAL:
+        out["broadcast_refused"] = "skipped (SOAK_SKIP_REFUSAL=1 — evidenced in a prior run)"
+    elif expected_bits > BLOOM_BROADCAST_MAX_BYTES:
         t = time.time()
         try:
             build_bloom_sidecar(seen_urls, config)
@@ -265,41 +271,58 @@ def main() -> None:
     out["bloom_urls_per_sec"] = round(N_CAND / wall)
     out["candidates_out"] = n_admitted
 
+    # 4e. the same wave with the BUCKETED seen table as the exact-join
+    # authority: bloom_prefilter takes any seen DataFrame, so the
+    # layout win composes end-to-end — the maybe-slice join inside
+    # admission stops exchanging the state side too
+    t = time.time()
+    admitted_b = bloom_prefilter(links, seen_b, config, sidecar=sidecar)
+    n_admitted_b = admitted_b.count()
+    wall = time.time() - t
+    out["bloom_wave_bucketed_sec"] = round(wall, 1)
+    out["bloom_wave_bucketed_urls_per_sec"] = round(N_CAND / wall)
+    assert n_admitted_b == n_admitted, (
+        f"bucketed wave diverged: {n_admitted_b} vs {n_admitted}"
+    )
+
     # -- 5. parity on a sampled bucket ---------------------------------
-    cand_b = links.where(
-        S.U.domain_bucket(S.U.netloc(F.col("url")), 64) == SAMPLE_BUCKET
-    ).localCheckpoint()
-    seen_b = seen.where(F.col("domain_bucket") == SAMPLE_BUCKET).select("url")
-    bc_sidecar = build_bloom_sidecar(seen_b, config)  # 1/64: under ceiling
-    table_hits = {
-        r["url"]
-        for r in probe_bloom_table(cand_b, sidecar, config)
-        .where("might_seen").select("url").collect()
-    }
-    bcast_hits = {
-        r["url"]
-        for r in probe_bloom(cand_b, bc_sidecar, config)
-        .where("might_seen").select("url").collect()
-    }
-    truly_seen = {
-        r["url"] for r in cand_b.join(seen_b, "url", "left_semi").collect()
-    }
-    assert table_hits == bcast_hits, (
-        f"table/broadcast probe divergence on bucket {SAMPLE_BUCKET}: "
-        f"{len(table_hits ^ bcast_hits)} urls differ"
-    )
-    assert truly_seen <= table_hits, (
-        f"bloom FALSE NEGATIVES: {len(truly_seen - table_hits)}"
-    )
-    n_b = cand_b.count()
-    out["parity_bucket"] = {
-        "bucket": SAMPLE_BUCKET, "candidates": n_b,
-        "truly_seen": len(truly_seen), "might_seen": len(table_hits),
-        "false_pos_rate": round(
-            (len(table_hits) - len(truly_seen)) / max(1, n_b - len(truly_seen)), 6
-        ),
-        "table_equals_broadcast": True, "false_negatives": 0,
-    }
+    if SKIP_PARITY:
+        out["parity_bucket"] = "skipped (SOAK_SKIP_PARITY=1 — evidenced in a prior run)"
+    else:
+        cand_b = links.where(
+            S.U.domain_bucket(S.U.netloc(F.col("url")), 64) == SAMPLE_BUCKET
+        ).localCheckpoint()
+        seen_b = seen.where(F.col("domain_bucket") == SAMPLE_BUCKET).select("url")
+        bc_sidecar = build_bloom_sidecar(seen_b, config)  # 1/64: under ceiling
+        table_hits = {
+            r["url"]
+            for r in probe_bloom_table(cand_b, sidecar, config)
+            .where("might_seen").select("url").collect()
+        }
+        bcast_hits = {
+            r["url"]
+            for r in probe_bloom(cand_b, bc_sidecar, config)
+            .where("might_seen").select("url").collect()
+        }
+        truly_seen = {
+            r["url"] for r in cand_b.join(seen_b, "url", "left_semi").collect()
+        }
+        assert table_hits == bcast_hits, (
+            f"table/broadcast probe divergence on bucket {SAMPLE_BUCKET}: "
+            f"{len(table_hits ^ bcast_hits)} urls differ"
+        )
+        assert truly_seen <= table_hits, (
+            f"bloom FALSE NEGATIVES: {len(truly_seen - table_hits)}"
+        )
+        n_b = cand_b.count()
+        out["parity_bucket"] = {
+            "bucket": SAMPLE_BUCKET, "candidates": n_b,
+            "truly_seen": len(truly_seen), "might_seen": len(table_hits),
+            "false_pos_rate": round(
+                (len(table_hits) - len(truly_seen)) / max(1, n_b - len(truly_seen)), 6
+            ),
+            "table_equals_broadcast": True, "false_negatives": 0,
+        }
 
     # -- 6. cuckoo table leg -------------------------------------------
     if N_CUCKOO > 0:
