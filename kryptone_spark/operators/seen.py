@@ -266,7 +266,14 @@ def probe_bloom_table(
     and ``bucket_col="domain_bucket"`` (groups on the existing column,
     so a candidate set already hash-partitioned on it cogroups with NO
     exchange — the probe becomes a map-side pass over co-located
-    bucket slices)."""
+    bucket slices).
+
+    Probe parallelism = #buckets (the cogroup makes one task per
+    domain_bucket): size ``CrawlConfig.n_domain_buckets`` to at least
+    the cluster's core count at deploy (e.g. 4096 on a 1000-executor
+    cluster) — the sidecar layout adapts automatically, each bucket's
+    bloom just gets proportionally smaller. The sandbox default of 64
+    saturates local[32]."""
     if pre_resolved:
         prep = candidates.withColumn("__resolved", F.col(url_col))
     else:
@@ -577,7 +584,9 @@ def probe_cuckoo_table(
     not seen (no false negatives — tombstones match exact 64-bit keys).
     Same pre_resolved / bucket_col fast path as probe_bloom_table: a
     candidate set already hash-partitioned on its stored domain_bucket
-    cogroups with no exchange."""
+    cogroups with no exchange. Probe parallelism = #buckets — size
+    ``n_domain_buckets`` to the cluster's core count at deploy (see
+    probe_bloom_table)."""
     from kryptone_spark.functions.cuckoo import CuckooFilter
 
     if pre_resolved:
