@@ -201,34 +201,33 @@ def q_seen_antijoin_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         save_membership_bucketed,
     )
 
+    import uuid
+
     urls = _urls_from_orders(_load(spark, sf_dir, "orders"))
     frontier = urls.where(F.col("k") % 10 >= 4).select("url")
     seen = urls.where(F.col("k") % 2 == 0).select("url")
-    # the session catalog is in-memory but the warehouse dir persists:
-    # a dir orphaned by a previous session makes CREATE refuse with
-    # LOCATION_ALREADY_EXISTS — drop both the entry and the orphan
-    # (its contents may be another scale factor's data, so re-attach
-    # would be wrong)
-    spark.sql("DROP TABLE IF EXISTS q_seen_bucketed")
-    wh = spark.conf.get("spark.sql.warehouse.dir", "")
-    if wh.startswith("file:"):
-        import os
-        import shutil
-        import urllib.parse as _up
-
-        shutil.rmtree(
-            os.path.join(_up.unquote(_up.urlparse(wh).path), "q_seen_bucketed"),
-            ignore_errors=True,
+    # per-run unique managed table (a fixed name orphans its warehouse
+    # dir across sessions — the in-memory catalog forgets it but the dir
+    # persists and CREATE refuses with LOCATION_ALREADY_EXISTS);
+    # dropped in the finally, so no rmtree of shared warehouse contents
+    tbl = f"q_seen_bucketed_{uuid.uuid4().hex[:8]}"
+    save_membership_bucketed(seen, tbl, n_buckets=4)
+    try:
+        joined = frontier.join(
+            spark.table(tbl).hint("merge"), "url", "left_anti"
         )
-    save_membership_bucketed(seen, "q_seen_bucketed", n_buckets=4)
-    joined = frontier.join(
-        spark.table("q_seen_bucketed").hint("merge"), "url", "left_anti"
-    )
-    assert is_bucketed_scan(joined), "bucketed layout must reach the scan"
-    return (
-        joined.groupBy(U.host(F.col("url")).alias("domain"))
-        .agg(F.count("*").alias("n"))
-    )
+        # explicit raise, not assert: the plan-shape gate must survive -O
+        if not is_bucketed_scan(joined):
+            raise RuntimeError("bucketed layout must reach the scan")
+        # eager O(#domains) checkpoint so the table can be dropped before
+        # the driver consumes the returned DataFrame
+        return (
+            joined.groupBy(U.host(F.col("url")).alias("domain"))
+            .agg(F.count("*").alias("n"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
 
 
 def q_url_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:

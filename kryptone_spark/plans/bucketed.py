@@ -111,7 +111,10 @@ def n_exchanges(df: DataFrame) -> int:
     final/current plan section only: an executed adaptive plan appends
     an ``== Initial Plan ==`` tree that would double the count, and the
     detail headers live after that marker. ``\\b`` keeps
-    BroadcastExchange out of the count."""
+    BroadcastExchange out of the count — and also ``ReusedExchange``
+    nodes: a plan that reuses a shuffle under-counts here. Fine for
+    the pinned shapes (none reuse), but callers comparing plans that
+    may contain ReusedExchange should count it explicitly."""
     tree = _formatted_plan(df).split("== Initial Plan ==")[0]
     return len(re.findall(r"\bExchange \(\d+\)", tree))
 

@@ -228,34 +228,43 @@ def main() -> None:
     # url at write time removes the state-side Exchange, so the wave
     # moves O(|wave|) rows (plans/bucketed.py; one-time build cost
     # amortized over every wave)
-    tbl_dir = f"{WORK}/warehouse/seen_bucketed"
+    # cache key carries N_SEEN like seen_{N_SEEN}/bloom_{N_SEEN}: a rerun
+    # with a different SOAK_SEEN_N rebuilds instead of re-attaching a
+    # stale table and dying on the divergence check below
+    bucketed_tbl = f"seen_bucketed_{N_SEEN}"
+    tbl_dir = f"{WORK}/warehouse/{bucketed_tbl}"
     t = time.time()
     if os.path.exists(f"{tbl_dir}/_SUCCESS"):
         seen_b = register_membership_bucketed(
-            spark, "seen_bucketed", tbl_dir, n_buckets=64
+            spark, bucketed_tbl, tbl_dir, n_buckets=64
         )
     else:
         import shutil
 
         shutil.rmtree(tbl_dir, ignore_errors=True)  # partial prior write
-        save_membership_bucketed(seen_urls, "seen_bucketed", n_buckets=64)
+        save_membership_bucketed(seen_urls, bucketed_tbl, n_buckets=64)
         out["bucketed_build_sec"] = round(time.time() - t, 1)
-        seen_b = spark.table("seen_bucketed")
+        seen_b = spark.table(bucketed_tbl)
     bucketed_join = links.join(seen_b, "url", "left_anti")
     t = time.time()
     surv_bucketed = bucketed_join.count()
     wall = time.time() - t
     out["antijoin_bucketed_sec"] = round(wall, 1)
     out["antijoin_bucketed_urls_per_sec"] = round(N_CAND / wall)
-    assert surv_bucketed == surv_plain, (
-        f"bucketed anti-join diverged: {surv_bucketed} vs {surv_plain}"
-    )
+    if surv_bucketed != surv_plain:
+        raise RuntimeError(
+            f"bucketed anti-join diverged: {surv_bucketed} vs {surv_plain}"
+        )
     out["plain_exchanges"] = n_exchanges(plain_join)
     out["bucketed_exchanges"] = n_exchanges(bucketed_join)
-    assert is_bucketed_scan(bucketed_join)
-    assert out["bucketed_exchanges"] < out["plain_exchanges"], (
-        "bucketed layout must eliminate the state-side exchange"
-    )
+    # explicit raises, not asserts: these gates must survive python -O
+    if not is_bucketed_scan(bucketed_join):
+        raise RuntimeError("bucketed layout must reach the scan")
+    if not out["bucketed_exchanges"] < out["plain_exchanges"]:
+        raise RuntimeError(
+            "bucketed layout must eliminate the state-side exchange: "
+            f"{out['bucketed_exchanges']} vs {out['plain_exchanges']}"
+        )
 
     # 4d. full admission wave end-to-end (probe -> split -> admission
     # incl. the exact join on the maybe slice). NOTE: the synth
@@ -281,9 +290,10 @@ def main() -> None:
     wall = time.time() - t
     out["bloom_wave_bucketed_sec"] = round(wall, 1)
     out["bloom_wave_bucketed_urls_per_sec"] = round(N_CAND / wall)
-    assert n_admitted_b == n_admitted, (
-        f"bucketed wave diverged: {n_admitted_b} vs {n_admitted}"
-    )
+    if n_admitted_b != n_admitted:
+        raise RuntimeError(
+            f"bucketed wave diverged: {n_admitted_b} vs {n_admitted}"
+        )
 
     # -- 5. parity on a sampled bucket ---------------------------------
     if SKIP_PARITY:
