@@ -20,6 +20,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from kryptone_spark.plans.lineage_cut import checkpoint_cut
+
 # fixed salts keep signatures deterministic and SQL-reproducible
 MINHASH_K = 8
 LSH_BANDS = 4  # rows-per-band = MINHASH_K / LSH_BANDS = 2
@@ -650,13 +652,13 @@ def duplicate_clusters(
         )
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(checkpoint_cut, eager=True)
     )
     fp = _edge_fingerprint(edges)
     for _ in range(max_rounds):
-        grown = _star_round(edges, large=True).localCheckpoint(eager=True)
+        grown = _star_round(edges, large=True).transform(checkpoint_cut, eager=True)
         fp_l = _edge_fingerprint(grown)
-        shrunk = _star_round(grown, large=False).localCheckpoint(eager=True)
+        shrunk = _star_round(grown, large=False).transform(checkpoint_cut, eager=True)
         fp_s = _edge_fingerprint(shrunk)
         edges = shrunk
         if fp_l == fp and fp_s == fp_l:

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from kryptone_spark.plans.lineage_cut import checkpoint_cut
+
 
 def pagerank(
     edges: DataFrame,
@@ -47,13 +49,13 @@ def pagerank(
     e = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(checkpoint_cut)
     )
     nodes = (
         e.select(F.col("src").alias("url"))
         .union(e.select(F.col("dst").alias("url")))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(checkpoint_cut)
     )
     outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
     ranks = nodes.withColumn("rank", F.lit(1.0))
@@ -73,7 +75,7 @@ def pagerank(
                 + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0)),
                 round_dp,
             ).alias("rank"),
-        ).localCheckpoint(eager=False)
+        ).transform(checkpoint_cut)
     return ranks
 
 

@@ -45,6 +45,7 @@ from pyspark.sql import functions as F
 
 from kryptone_spark.config import CrawlConfig
 from kryptone_spark.operators import admission, schedule
+from kryptone_spark.plans.lineage_cut import checkpoint_cut
 from kryptone_spark.plans.tableio import TableIO
 
 
@@ -94,6 +95,7 @@ class WaveRunner:
         fetch_failures: DataFrame | None = None,
         dedup: bool = False,
         dedup_max_bucket: int | None = None,
+        fold_state_every: int = 16,
     ):
         self.spark = spark
         self.config = config
@@ -176,6 +178,19 @@ class WaveRunner:
             "robots_blocked": None, "fetch_failed": None,
             "dedup_index": None,
         }
+        # Deep-crawl guard: each wave appends a ~shuffle.partitions-wide
+        # checkpointed delta to every state union, so at wave k the
+        # frontier/visited/seen scans carry O(k) union segments and
+        # O(k * width) mostly-empty tasks — a 120-wave pagination chain
+        # paid O(waves^2) driver time (measured: tools/probe_deep_crawl).
+        # Every `fold_state_every` appends per state, the union itself is
+        # coalesced to defaultParallelism and checkpointed: plan depth
+        # and task count reset to O(1) segments at the cost of one
+        # re-materialization of that state per fold (amortized O(state ×
+        # waves / fold_every) — the same bound a periodic table compaction
+        # pays). 0 disables folding.
+        self.fold_state_every = max(0, fold_state_every)
+        self._state_appends: dict[str, int] = defaultdict(int)
         # per-wave deltas not yet flushed: (table, partition_wave, df,
         # commit_group) — commit_group is the wave that PRODUCED the
         # delta (seen/frontier deltas of wave k land in partition k+1
@@ -200,9 +215,23 @@ class WaveRunner:
     # ---- state helpers ---------------------------------------------------
 
     def _append_state(self, name: str, delta: DataFrame) -> None:
-        delta = delta.localCheckpoint(eager=False)
+        delta = delta.transform(checkpoint_cut)
         cur = self._state[name]
-        self._state[name] = delta if cur is None else cur.unionByName(delta)
+        merged = delta if cur is None else cur.unionByName(delta)
+        self._state_appends[name] += 1
+        if (
+            self.fold_state_every
+            and self._state_appends[name] >= self.fold_state_every
+        ):
+            # fold: collapse the O(appends)-segment union into one
+            # right-width checkpointed scan (see __init__ note). Narrow
+            # coalesce — no shuffle; materializes lazily on the next
+            # wave's first job over this state.
+            merged = merged.coalesce(
+                max(1, self.spark.sparkContext.defaultParallelism)
+            ).transform(checkpoint_cut)
+            self._state_appends[name] = 0
+        self._state[name] = merged
 
     def _queue_flush(self, name: str, wave: int, df: DataFrame, group: int) -> None:
         self._pending_flush.append((name, wave, df, group))
@@ -323,8 +352,8 @@ class WaveRunner:
             if self._edges_acc is not None and wave % self.rank_every == 0:
                 # rank over everything discovered so far; checkpoint so
                 # the power-iteration DAG isn't replayed per consumer
-                self._ranks = linkgraph.pagerank(self._edges_acc).localCheckpoint(
-                    eager=False
+                self._ranks = checkpoint_cut(
+                    linkgraph.pagerank(self._edges_acc)
                 )
             if self._ranks is not None:
                 pending = linkgraph.prioritize_frontier(pending, self._ranks)
@@ -359,7 +388,7 @@ class WaveRunner:
                 )
                 .drop("n_failures", "__pf")
             )
-        batch = batch.localCheckpoint(eager=False)
+        batch = batch.transform(checkpoint_cut)
         # one job: materializes the lazy checkpoint AND collects the
         # scalars the driver needs (count, virtual duration, and the
         # lexicographically-first URL = rank_in_wave 0, for the wave-0
@@ -398,7 +427,7 @@ class WaveRunner:
                 F.col("wave"),
                 F.col("__attempt").cast("int").alias("attempt"),
                 "fetch_at", "crawl_delay",
-            ).localCheckpoint(eager=False)
+            ).transform(checkpoint_cut)
             # in-memory state drops the wave col so it unions cleanly
             # with a resume()-reloaded table (read() strips the wave
             # partition the same way — mirrors the visited pattern)
@@ -417,7 +446,7 @@ class WaveRunner:
                             F.least(F.count("*"), F.lit(6)).cast("double"),
                         ).alias("backoff_mult")
                     )
-                    .localCheckpoint(eager=False)
+                    .transform(checkpoint_cut)
                 )
             batch = batch.where(~F.col("__failed")).drop("__attempt", "__failed")
 
@@ -447,7 +476,7 @@ class WaveRunner:
                 else acc.unionByName(wave_counts)
                 .groupBy("domain")
                 .agg(F.sum("n_fetched").alias("n_fetched"))
-            ).localCheckpoint(eager=False)
+            ).transform(checkpoint_cut)
 
         self._queue_flush(
             "fetch_batches",
@@ -500,7 +529,7 @@ class WaveRunner:
             # flush threads would run the signature pass per consumer
             banded_new = _dedup.banded_rows(
                 _dedup.minhash_signatures(batch_text)
-            ).localCheckpoint(eager=True)
+            ).transform(checkpoint_cut, eager=True)
             idx = self._state["dedup_index"]
             if idx is not None:
                 pairs = _dedup.lsh_pairs_vs_index_df(
@@ -554,7 +583,7 @@ class WaveRunner:
             if self._bloom_sidecar is None:
                 self._bloom_sidecar = (
                     build_bloom_sidecar_table(seen_urls, self.config)
-                    .localCheckpoint(eager=False)
+                    .transform(checkpoint_cut)
                     if self.bloom_mode == "table"
                     else build_bloom_sidecar(seen_urls, self.config)
                 )
@@ -579,7 +608,7 @@ class WaveRunner:
         # checkpoint itself can stay lazy and the admission DAG runs
         # exactly once per wave instead of once for the checkpoint and
         # once for per_url.
-        admitted = admitted.localCheckpoint(eager=False)
+        admitted = admitted.transform(checkpoint_cut)
         if self.collect_stats:
             counts = admitted.agg(
                 F.count("*").alias("cand"),
@@ -602,7 +631,7 @@ class WaveRunner:
         per_url = admitted.groupBy("url", "domain", "domain_bucket").agg(
             F.max(F.col("verdict") == "valid").alias("is_valid"),
             F.max(F.col("filtered")).alias("filtered"),
-        ).localCheckpoint(eager=True)
+        ).transform(checkpoint_cut, eager=True)
         t3 = time.perf_counter()
         self.phase_seconds["per_url"] += t3 - t2
 
@@ -621,8 +650,14 @@ class WaveRunner:
         # materialize the delta ONCE: the sidecar build below collects
         # (or checkpoints) it eagerly, and _append_state/_queue_flush
         # then reuse the checkpointed RDD instead of recomputing the
-        # anti-join + per-url agg DAG per consumer
-        seen_rows = seen_rows.localCheckpoint(eager=False)
+        # anti-join + per-url agg DAG per consumer. Coalesced first
+        # (narrow): the anti-join leaves shuffle.partitions mostly-empty
+        # partitions on a small wave, and every later wave re-scans this
+        # delta inside the seen union — right-sizing it here is what
+        # keeps deep crawls' per-wave task count flat (with the periodic
+        # fold in _append_state). Big waves keep full width: nparts is
+        # capped at defaultParallelism only for wave-sized data.
+        seen_rows = seen_rows.coalesce(nparts).transform(checkpoint_cut)
         if self.use_bloom and self._bloom_sidecar is not None:
             from kryptone_spark.operators.seen import (
                 build_bloom_sidecar,
@@ -646,7 +681,7 @@ class WaveRunner:
             if self._bloom_deltas >= self.bloom_compact_every:
                 self._bloom_sidecar = (
                     compact_sidecar_table(self._bloom_sidecar)
-                    .localCheckpoint(eager=False)
+                    .transform(checkpoint_cut)
                     if self.bloom_mode == "table"
                     else compact_sidecars(self._bloom_sidecar)
                 )
@@ -656,7 +691,7 @@ class WaveRunner:
             F.lit(wave + 1).alias("depth"),
             F.lit(wave + 1).alias("discovered_wave"),
             F.lit(0.0).alias("priority"),
-        )
+        ).coalesce(nparts)  # right-sized like seen_rows (deep-crawl width)
         self._append_state("seen", seen_rows)
         self._append_state("frontier", new_frontier)
         self._append_state("visited", visited_w.select("url", "domain_bucket"))
@@ -677,7 +712,7 @@ class WaveRunner:
             # re-analyzes the whole chain — quadratic driver planning
             self._edges_acc = (
                 e if self._edges_acc is None else self._edges_acc.unionByName(e)
-            ).localCheckpoint(eager=False)
+            ).transform(checkpoint_cut)
         # Per-filter cardinality rides the same single-shuffle agg as
         # urls_in/out (conditional sums partial-aggregate map-side); the
         # reason vocabulary is the closed admission set (admission.py
@@ -793,7 +828,7 @@ class WaveRunner:
                   "fetch_failed", "dedup_index"):
             df = self.io.read(t)
             if df is not None:
-                self._state[t] = df.drop("wave").localCheckpoint(eager=False)
+                self._state[t] = df.drop("wave").transform(checkpoint_cut)
         fb = self.io.read("fetch_batches")
         ff = self.io.read("fetch_failed")
         # rebuild the link-evidence priority state from committed edges:
@@ -806,7 +841,7 @@ class WaveRunner:
             if ed is not None:
                 self._edges_acc = ed.select(
                     "src_url", "dst_url"
-                ).localCheckpoint(eager=False)
+                ).transform(checkpoint_cut)
                 # ranks as-of the last rank cycle: run_wave computes
                 # them AT aligned wave w from edges of waves < w
                 lrw = ((next_wave - 1) // self.rank_every) * self.rank_every
@@ -816,15 +851,13 @@ class WaveRunner:
                     prior = ed.where(F.col("wave") < lrw).select(
                         "src_url", "dst_url"
                     )
-                    self._ranks = linkgraph.pagerank(prior).localCheckpoint(
-                        eager=False
-                    )
+                    self._ranks = checkpoint_cut(linkgraph.pagerank(prior))
         # rebuild the per-domain quota counters from committed batches
         if self.config.max_pages_per_domain is not None and fb is not None:
             self._fetched_counts = (
                 fb.groupBy("domain")
                 .agg(F.count("*").alias("n_fetched"))
-                .localCheckpoint(eager=False)
+                .transform(checkpoint_cut)
             )
         # rebuild the error-backoff dim from the LAST committed wave's
         # failures (the only wave whose counts affect the next schedule)
@@ -842,7 +875,7 @@ class WaveRunner:
                         F.least(F.count("*"), F.lit(6)).cast("double"),
                     ).alias("backoff_mult")
                 )
-                .localCheckpoint(eager=False)
+                .transform(checkpoint_cut)
             )
         # rebuild the virtual clock offset from committed batches —
         # failed attempts consumed politeness slots too, so the max

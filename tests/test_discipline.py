@@ -10,7 +10,11 @@ PKG = pathlib.Path(__file__).resolve().parent.parent / "kryptone_spark"
 
 BANNED = [
     (re.compile(r"(?<!pandas_)\budf\("), "row-at-a-time udf()"),
-    (re.compile(r"\.rdd\b"), "RDD drop-down"),
+    # DataFrame.rdd is a PROPERTY — the drop-down is `.rdd` never
+    # followed by '('. The call form `.rdd()` is a py4j accessor on a
+    # JVM plan node (plans/lineage_cut.py reads LogicalRDD.rdd()),
+    # which moves no rows through Python.
+    (re.compile(r"\.rdd\b(?!\()"), "RDD drop-down"),
     (re.compile(r"\bmapPartitions\b"), "raw mapPartitions"),
     (re.compile(r"\.toPandas\(\)"), "driver-side toPandas"),
 ]
