@@ -632,6 +632,17 @@ class WaveRunner:
             F.max(F.col("verdict") == "valid").alias("is_valid"),
             F.max(F.col("filtered")).alias("filtered"),
         ).transform(checkpoint_cut, eager=True)
+        # Width for THIS wave's state deltas (seen_rows/new_frontier
+        # below): they are link-count-sized, and `nparts` is sized from
+        # the PAGE count — a 10-hub wave emitting 10^5 links would
+        # coalesce its deltas (and the next wave's frontier scan) onto
+        # one task. per_url is already eagerly materialized, so count()
+        # is a cheap cached-partition scan, and its cardinality upper-
+        # bounds both deltas.
+        delta_nparts = max(1, min(
+            self.spark.sparkContext.defaultParallelism,
+            (per_url.count() + 2047) // 2048,
+        ))
         t3 = time.perf_counter()
         self.phase_seconds["per_url"] += t3 - t2
 
@@ -655,9 +666,9 @@ class WaveRunner:
         # partitions on a small wave, and every later wave re-scans this
         # delta inside the seen union — right-sizing it here is what
         # keeps deep crawls' per-wave task count flat (with the periodic
-        # fold in _append_state). Big waves keep full width: nparts is
-        # capped at defaultParallelism only for wave-sized data.
-        seen_rows = seen_rows.coalesce(nparts).transform(checkpoint_cut)
+        # fold in _append_state). Big waves keep full width:
+        # delta_nparts is capped at defaultParallelism.
+        seen_rows = seen_rows.coalesce(delta_nparts).transform(checkpoint_cut)
         if self.use_bloom and self._bloom_sidecar is not None:
             from kryptone_spark.operators.seen import (
                 build_bloom_sidecar,
@@ -691,7 +702,7 @@ class WaveRunner:
             F.lit(wave + 1).alias("depth"),
             F.lit(wave + 1).alias("discovered_wave"),
             F.lit(0.0).alias("priority"),
-        ).coalesce(nparts)  # right-sized like seen_rows (deep-crawl width)
+        ).coalesce(delta_nparts)  # right-sized like seen_rows (deep-crawl width)
         self._append_state("seen", seen_rows)
         self._append_state("frontier", new_frontier)
         self._append_state("visited", visited_w.select("url", "domain_bucket"))
