@@ -160,14 +160,29 @@ def politeness_schedule(
             F.col("rank_in_domain") <= F.lit(cap) - F.col("__nf")
         ).drop("__nf")
 
-    # deterministic virtual schedule: wave_start + (rank-1) * delay
+    # deterministic virtual schedule: wave_start + (rank-1) * delay.
+    # The wave id and clock offset change EVERY wave; inlined as
+    # primitive literals they would change this span's generated
+    # source each wave, forcing a fresh Janino compile of the whole
+    # schedule projection per wave (~1-2 s/wave measured on the toy
+    # crawl — codegen caches key on source text, and Literal codegen
+    # inlines primitives). A broadcast 1-row dim ships them as DATA:
+    # the generated source references input columns and stays
+    # wave-invariant, so the class compiles once per crawl. The join
+    # is against the post-budget batch (≤ budget rows/domain), never
+    # the full frontier, so no shuffle row widens.
+    scalars = pending.sparkSession.createDataFrame(
+        [(float(EPOCH.timestamp() + wave_start_offset), int(wave))],
+        "__wave_t0 double, __wave int",
+    )
+    batch = batch.crossJoin(F.broadcast(scalars))
     batch = batch.withColumn(
         "fetch_at",
         F.timestamp_seconds(
-            F.lit(EPOCH.timestamp() + wave_start_offset)
+            F.col("__wave_t0")
             + (F.col("rank_in_domain") - 1) * F.col("crawl_delay")
         ),
-    )
+    ).drop("__wave_t0")
     # rank_in_wave: the oracle's global lexicographic processing order —
     # computed as a two-phase range-partitioned rank (functions/rank.py)
     # so no single task ever sorts the whole batch; disable
@@ -181,7 +196,10 @@ def politeness_schedule(
         )
     else:
         batch = batch.withColumn("rank_in_wave", F.lit(None).cast("int"))
-    batch = batch.withColumn("wave", F.lit(wave)).drop("robots_blocked")
+    # wave id from the scalar dim (same codegen-stability reason)
+    batch = batch.withColumn("wave", F.col("__wave")).drop(
+        "__wave", "robots_blocked"
+    )
     return batch, blocked
 
 

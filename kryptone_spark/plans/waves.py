@@ -299,7 +299,18 @@ class WaveRunner:
         the home page allowed (iteration_count == 0)."""
         seeds = list(dict.fromkeys(self.config.start_urls))
         df = self.spark.createDataFrame([(u,) for u in seeds], "url string")
-        admitted = admission.admit(df, self.config, allow_home=True)
+        # Eager checkpoint: without it the seed arm of the frontier
+        # union carries the FULL admission expression tree, and every
+        # wave's schedule plan re-optimizes over it — predicate
+        # pushdown merges that wave's pending filters into the seed
+        # arm's filter, generating a fresh multi-MB SpecificPredicate
+        # (9.2 MB measured) that Janino recompiles per wave (~2 s), on
+        # top of re-EVALUATING the seed admission chain every wave.
+        # Checkpointed, the arm is an O(#seeds) LogicalRDD: the giant
+        # expression runs exactly once, at seed time.
+        admitted = admission.admit(df, self.config, allow_home=True).transform(
+            checkpoint_cut, eager=True
+        )
         seen_rows = admitted.select(
             "url", "domain_bucket",
             F.lit(0).alias("first_wave"),
