@@ -67,6 +67,48 @@ class CrawlResult:
         return sum(w.fetched for w in self.waves)
 
 
+# Widest wave batch that may be broadcast for the documents semi-join
+# (fetch_documents_join orientation): 10^6 urls ≈ 60-80 MB serialized —
+# well under executor broadcast budgets, O(1) copies per executor.
+# Wider waves fill every core anyway, so the plain join wins there.
+_SEMI_BCAST_MAX_ROWS = 1_000_000
+
+
+def fetch_documents_join(
+    batch: DataFrame,
+    documents: DataFrame,
+    *,
+    nparts: int,
+    fetched: int,
+    parallelism: int,
+) -> DataFrame:
+    """The wave's "fetch": resolve the scheduled batch against the
+    interleaved documents table, returning ``(url, spans, ...)`` for
+    the fetched pages (SURVEY §2 S7; a missing doc behaves like an
+    empty 404 body downstream).
+
+    Join ORIENTATION sets the fan-out stage's width: the output
+    inherits the streamed side's partitioning, and run_wave coalesces
+    the batch to ``nparts`` sized from the PAGE count — so a hub wave
+    (10 pages, 10^5-link fan-out) that streams the coalesced batch
+    runs the link explode + the expression-heavy admission chain on ~1
+    task (1.2 s single-task job measured on the 100k-page bench site;
+    AQE can't split a partition mid-stage). When the wave is narrower
+    than the session, broadcast the batch and SEMI-join the documents
+    side instead: semantically identical for both consumers (a missing
+    doc contributes no links and no page text — the left join's
+    null-span rows were filtered right back out), and the explode
+    inherits the documents table's full width. Wide waves keep the
+    plain join: their batch already spans every core, and past
+    ``_SEMI_BCAST_MAX_ROWS`` the batch no longer belongs in a
+    broadcast. Plan shape pinned by tests/test_plans.py."""
+    fetched_docs = documents.withColumnRenamed("doc_id", "url")
+    if nparts < parallelism and fetched <= _SEMI_BCAST_MAX_ROWS:
+        return fetched_docs.join(
+            F.broadcast(batch.select("url")), "url", "left_semi"
+        )
+    return batch.select("url").join(fetched_docs, "url", "left")
+
 # state tables flushed per wave; lineage last = commit marker
 _DELTA_TABLES = (
     "fetch_batches", "visited", "seen", "frontier",
@@ -507,8 +549,9 @@ class WaveRunner:
         self._queue_flush("visited", wave, visited_w, group=wave)
 
         # fetch = join against the interleaved documents table (S7)
-        docs = batch.select("url").join(
-            self.documents.withColumnRenamed("doc_id", "url"), "url", "left"
+        docs = fetch_documents_join(
+            batch, self.documents, nparts=nparts, fetched=fetched,
+            parallelism=self.spark.sparkContext.defaultParallelism,
         )
         links = (
             docs.select(F.col("url").alias("src_url"), F.explode_outer("spans").alias("s"))

@@ -177,3 +177,42 @@ def test_incremental_dedup_probe_plan(spark):
     plan = plan_of(dedup.lsh_pairs_vs_index_df(idx, new))
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "Window" not in plan
+
+
+def test_fetch_join_orientation_matches_wave_width(spark):
+    """A narrow wave (hub pages whose fan-out dwarfs the page count)
+    must BROADCAST the batch and semi-join the documents side, so the
+    link explode + admission chain inherits the documents table's full
+    width instead of the batch's ~1 coalesced partition. A wide wave
+    (or one past the broadcast row ceiling) streams the batch through
+    the plain left join."""
+    from kryptone_spark.plans.waves import fetch_documents_join
+
+    docs = spark.range(64).select(
+        F.concat(F.lit("http://s.test/p-"), F.col("id")).alias("doc_id"),
+        F.array().cast(
+            "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+        ).alias("spans"),
+    ).repartition(8)
+    batch = spark.createDataFrame(
+        [("http://s.test/p-1",), ("http://s.test/p-2",)], "url string"
+    ).coalesce(1)
+
+    narrow = fetch_documents_join(
+        batch, docs, nparts=1, fetched=2, parallelism=8
+    )
+    plan = plan_of(narrow)
+    assert "LeftSemi" in plan and "BroadcastHashJoin" in plan
+    # output carries the docs side's columns (url + spans)
+    assert set(narrow.columns) == {"url", "spans"}
+
+    wide = fetch_documents_join(
+        batch, docs, nparts=8, fetched=100_000, parallelism=8
+    )
+    wplan = plan_of(wide)
+    assert "LeftSemi" not in wplan
+    # over-ceiling narrow wave must also refuse the broadcast
+    over = fetch_documents_join(
+        batch, docs, nparts=1, fetched=2_000_000, parallelism=8
+    )
+    assert "LeftSemi" not in plan_of(over)

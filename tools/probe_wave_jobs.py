@@ -43,9 +43,14 @@ def get_spark(cpus: int) -> SparkSession:
 
 
 def main() -> None:
+    # arg = product count; PROBE_SITE=big uses the Spark-side 10-hub
+    # synth_big_site_df (bench_crawl_loop_big's shape) instead of the
+    # driver-built toy site
     n_products = int(sys.argv[1]) if len(sys.argv) > 1 else 500
+    big = os.environ.get("PROBE_SITE") == "big"
     spark = get_spark(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
-    config = CrawlConfig(start_urls=["http://sitea.test/"], ignore_images=True)
+    dom = "siteb.test" if big else "sitea.test"
+    config = CrawlConfig(start_urls=[f"http://{dom}/"], ignore_images=True)
 
     warm_docs = site_df(
         spark, synth_site(n_domains=1, n_products=4, page_size=4, seed=7)
@@ -53,14 +58,23 @@ def main() -> None:
     warm_dir = tempfile.mkdtemp(prefix="probe_warm_")
     try:
         WaveRunner(
-            spark, config, warm_docs, TableIO(spark, warm_dir),
+            spark,
+            CrawlConfig(start_urls=["http://sitea.test/"], ignore_images=True),
+            warm_docs, TableIO(spark, warm_dir),
             collect_stats=False, global_rank=False,
         ).run()
     finally:
         shutil.rmtree(warm_dir, ignore_errors=True)
 
-    site = synth_site(n_domains=1, n_products=n_products, page_size=n_products, seed=42)
-    docs = site_df(spark, site).localCheckpoint()
+    if big:
+        from kryptone_spark.synth import synth_big_site_df
+
+        docs = synth_big_site_df(spark, n_products).localCheckpoint()
+    else:
+        site = synth_site(
+            n_domains=1, n_products=n_products, page_size=n_products, seed=42
+        )
+        docs = site_df(spark, site).localCheckpoint()
 
     sc = spark.sparkContext
     t_mark = time.time()  # wall-clock epoch marking the timed run start
