@@ -282,3 +282,91 @@ def synth_big_site_df(
         ).alias("spans"),
     )
     return home.unionByName(hubs).unionByName(products)
+
+
+def synth_layered_site_df(
+    spark: SparkSession,
+    width: int,
+    depth: int,
+    domain: str = "sitelay.test",
+    text_words: int = 6,
+) -> DataFrame:
+    """Spark-side LAYERED site for sustained multi-wave loop benches:
+    home → layer 0 (``width`` pages) → layer 1 → … → layer depth-1,
+    where wave k+1 fetches exactly layer k. Complements the two
+    existing throughput shapes — ``synth_big_site_df`` (one wide wave)
+    and the pagination chain of tools/probe_deep_crawl.py (many 1-page
+    waves) — with the shape a real crawl sustains: MANY WIDE WAVES,
+    state (seen/visited/frontier/bloom deltas) accumulating across
+    them.
+
+    Link structure (all JVM-side ``sequence``/``transform``, no driver
+    rows):
+    - home ``/`` fans out to every ``/L0-i`` (the hub fan-out path —
+      plans/waves.py:fetch_documents_join broadcasts the 1-row batch
+      and semi-joins the documents side);
+    - ``/L{k}-{i}`` links to ``/L{k+1}-{i}`` and to a shuffled cross
+      page ``/L{k+1}-{(31*i+7) % width}`` — ~2 candidate links per new
+      URL, so per-URL dedup (J3) and the seen membership path see
+      realistic duplicate pressure every wave;
+    - the LAST layer links back to layer 0: its whole candidate wave is
+      already-seen, the pure membership-rejection regime (the bloom
+      sidecar's worst case — every probe is a hit).
+
+    Pages = 1 + width × depth; waves = depth + 1; page text is a
+    deterministic hash of the page id (distinct per page)."""
+    base = f"http://{domain}"
+    span = lambda kind, text, ref, off: F.struct(
+        kind.alias("kind"),
+        text.alias("text"),
+        ref.alias("media_ref"),
+        off.cast("int").alias("offset"),
+    )
+    home = spark.range(1).select(
+        F.lit(f"{base}/").alias("doc_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(width - 1)),
+            lambda i: span(
+                F.lit("link"), F.lit(""),
+                F.concat(F.lit(f"{base}/L0-"), i.cast("string")), i,
+            ),
+        ).alias("spans"),
+    )
+    words = F.array(*[F.lit(w) for w in PLAIN_WORDS])
+    nw = len(PLAIN_WORDS)
+    layer = (F.col("id") / width).cast("long")
+    idx = F.col("id") % width
+    nxt = layer + 1
+    # last layer wraps to layer 0 (seen-rejection wave); others advance
+    tgt_layer = F.when(nxt < depth, nxt).otherwise(F.lit(0))
+    link1 = F.concat(
+        F.lit(f"{base}/L"), tgt_layer.cast("string"), F.lit("-"), idx.cast("string")
+    )
+    link2 = F.concat(
+        F.lit(f"{base}/L"), tgt_layer.cast("string"), F.lit("-"),
+        ((idx * 31 + 7) % width).cast("string"),
+    )
+    pages = spark.range(width * depth).select(
+        F.concat(
+            F.lit(f"{base}/L"), layer.cast("string"), F.lit("-"), idx.cast("string")
+        ).alias("doc_id"),
+        F.array(
+            span(
+                F.lit("text"),
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(text_words - 1)),
+                        lambda i: F.element_at(
+                            words,
+                            (F.pmod(F.xxhash64(F.col("id") * 17 + i), F.lit(nw)) + 1).cast("int"),
+                        ),
+                    ),
+                ),
+                F.lit(""), F.lit(0),
+            ),
+            span(F.lit("link"), F.lit(""), link1, F.lit(1)),
+            span(F.lit("link"), F.lit(""), link2, F.lit(2)),
+        ).alias("spans"),
+    )
+    return home.unionByName(pages)

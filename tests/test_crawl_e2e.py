@@ -758,3 +758,30 @@ def test_dedup_in_loop_resume_parity(spark, tmp_path):
         assert a == b, t
     state = oracle.crawl(site, config)
     assert_parity(io, state)
+
+
+def test_layered_site_matches_oracle(spark, tmp_path):
+    """The sustained-crawl bench site (synth_layered_site_df) crawls to
+    oracle parity at toy size: waves = layers, the last layer's
+    back-links are all seen-rejected, page count = 1 + width*depth.
+    Pins the generator the scale probe (tools/probe_sustained_crawl.py)
+    measures with — the big run's semantics are the ones verified here."""
+    from kryptone_spark.synth import synth_layered_site_df
+
+    width, depth = 13, 4
+    df = synth_layered_site_df(spark, width=width, depth=depth)
+    rows = [
+        {"doc_id": r["doc_id"],
+         "spans": [s.asDict() for s in r["spans"]]}
+        for r in df.collect()
+    ]
+    config = CrawlConfig(start_urls=["http://sitelay.test/"], ignore_images=True)
+    state = oracle.crawl(rows, config)
+    assert len(state.visited) == 1 + width * depth
+    io, result = run_engine(spark, rows, config, tmp_path / "lay",
+                            use_bloom=True, bloom_mode="table")
+    assert_parity(io, state)
+    assert len(result.waves) == depth + 1
+    # final wave's candidates are ALL already-seen (pure membership
+    # rejection): no new frontier rows discovered past the last layer
+    assert result.waves[-1].new_frontier == 0
