@@ -785,3 +785,79 @@ def test_layered_site_matches_oracle(spark, tmp_path):
     # final wave's candidates are ALL already-seen (pure membership
     # rejection): no new frontier rows discovered past the last layer
     assert result.waves[-1].new_frontier == 0
+
+
+def test_crawl_random_resume_fuzz(spark, tmp_path):
+    """Randomized kill/resume parity: random link graphs × random knobs
+    (budget, failures + retry budget, bloom mode, aggressive state
+    folding) interrupted at a RANDOM wave and resumed with a fresh
+    runner — final state must equal the uninterrupted oracle replay.
+    The targeted resume tests above each pin one seam at a fixed kill
+    point; this rotates the kill point and the membership path so
+    resume's contiguous-prefix logic is exercised against arbitrary
+    mid-crawl states (including ones where the bloom sidecar must be
+    rebuilt from reloaded seen state and where retryable URLs straddle
+    the kill)."""
+    import random
+
+    for case in range(3):
+        rng = random.Random(7700 + case)
+        dom = f"rz{case}.test"
+        pages = [f"http://{dom}/"] + [
+            f"http://{dom}/p{i}" for i in range(rng.randint(6, 12))
+        ]
+        rows = []
+        for url in pages:
+            spans = [
+                {"kind": "text", "text": f"body {url}", "media_ref": "", "offset": 0}
+            ]
+            for off in range(1, rng.randint(2, 6)):
+                spans.append(
+                    {
+                        "kind": "link",
+                        "text": "",
+                        "media_ref": rng.choice(pages),
+                        "offset": off,
+                    }
+                )
+            rows.append({"doc_id": url, "spans": spans})
+        config = CrawlConfig(
+            start_urls=[f"http://{dom}/"],
+            ignore_images=True,
+            max_per_domain_per_wave=rng.choice([2, 3]),
+            max_waves=12,
+            max_retries=rng.choice([0, 1]),
+            wait_time=0.01,
+        )
+        failing = {
+            u: rng.choice([1, 99])
+            for u in rng.sample(pages, rng.randint(0, 2))
+        }
+        state = oracle.crawl(rows, config, failures=failing or None)
+
+        use_bloom = rng.random() < 0.7
+        bloom_mode = rng.choice(["broadcast", "table"])
+        fdim = (
+            spark.createDataFrame(list(failing.items()), "url string, n_failures int")
+            if failing
+            else None
+        )
+
+        def make_runner(io):
+            return WaveRunner(
+                spark, config, site_df(spark, rows), io,
+                fetch_failures=fdim, use_bloom=use_bloom,
+                bloom_mode=bloom_mode, fold_state_every=2,
+            )
+
+        kill_after = rng.randint(1, 4)
+        io = TableIO(spark, str(tmp_path / f"rz{case}"))
+        make_runner(io).run(max_waves=kill_after)
+        io2 = TableIO(spark, str(tmp_path / f"rz{case}"))
+        make_runner(io2).resume()
+        assert_parity(io2, state)
+        eng_failed = sorted(
+            (r["wave"], r["attempt"], r["url"])
+            for r in io2.read("fetch_failed").collect()
+        ) if io2.read("fetch_failed") is not None else []
+        assert eng_failed == sorted(state.failed_attempts)
