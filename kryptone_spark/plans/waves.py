@@ -109,6 +109,34 @@ def fetch_documents_join(
         )
     return batch.select("url").join(fetched_docs, "url", "left")
 
+def cluster_documents_on_id(spark: SparkSession, documents: DataFrame) -> DataFrame:
+    """Hash-cluster AND sort the documents table on ``doc_id`` into a
+    checkpointed frame whose layout the per-wave fetch join can
+    RECOGNIZE — the sort-merge join then plans NO exchange and NO sort
+    on the docs side, so each wave pays only the batch-side shuffle +
+    sort plus a merge-scan of its corpus partitions (plan-pinned by
+    tests/test_plans.py). This emulates in-memory what an Iceberg
+    ``bucket(N, doc_id)`` + sorted-file layout gives for free at write
+    time (the storage-partitioned-join posture). AQE must be OFF while
+    the checkpoint captures its plan: ``LogicalRDD.fromDataset`` reads
+    ``outputPartitioning``/``outputOrdering`` from the physical plan at
+    call time, and an un-executed ``AdaptiveSparkPlan`` reports
+    ``UnknownPartitioning`` — with AQE on, the clustering silently
+    degrades to a per-wave two-sided shuffle (observed on Spark
+    4.1.2)."""
+    key = "spark.sql.adaptive.enabled"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        return checkpoint_cut(
+            documents.repartition(
+                spark.sparkContext.defaultParallelism, "doc_id"
+            ).sortWithinPartitions("doc_id")
+        )
+    finally:
+        spark.conf.set(key, prev)
+
+
 # state tables flushed per wave; lineage last = commit marker
 _DELTA_TABLES = (
     "fetch_batches", "visited", "seen", "frontier",
@@ -138,9 +166,22 @@ class WaveRunner:
         dedup: bool = False,
         dedup_max_bucket: int | None = None,
         fold_state_every: int = 16,
+        cluster_documents: bool = False,
     ):
         self.spark = spark
         self.config = config
+        # cluster_documents: hash-cluster the documents table on doc_id
+        # once (checkpointed) so every wave's fetch join recognizes the
+        # docs side's partitioning and exchanges ONLY the wave batch —
+        # without it the plain-join arm reshuffles the whole corpus
+        # every wave. This is the runtime form of the deployment
+        # guidance: store documents bucketed on doc_id (Iceberg
+        # `bucket(N, doc_id)`), where the clustering is free at write
+        # time and no runtime repartition is needed at all. Off by
+        # default — a table-backed corpus should carry its layout, not
+        # be reshuffled at startup.
+        if cluster_documents:
+            documents = cluster_documents_on_id(spark, documents)
         self.documents = documents
         self.io = io
         self.robots = robots

@@ -18,11 +18,11 @@ def site():
 
 
 def run_engine(spark, site, config, tmpdir, use_bloom=False, max_waves=None,
-               bloom_mode="broadcast"):
+               bloom_mode="broadcast", cluster_documents=False):
     io = TableIO(spark, str(tmpdir))
     runner = WaveRunner(
         spark, config, site_df(spark, site), io, use_bloom=use_bloom,
-        bloom_mode=bloom_mode,
+        bloom_mode=bloom_mode, cluster_documents=cluster_documents,
     )
     result = runner.run(max_waves=max_waves)
     return io, result
@@ -779,7 +779,8 @@ def test_layered_site_matches_oracle(spark, tmp_path):
     state = oracle.crawl(rows, config)
     assert len(state.visited) == 1 + width * depth
     io, result = run_engine(spark, rows, config, tmp_path / "lay",
-                            use_bloom=True, bloom_mode="table")
+                            use_bloom=True, bloom_mode="table",
+                            cluster_documents=True)
     assert_parity(io, state)
     assert len(result.waves) == depth + 1
     # final wave's candidates are ALL already-seen (pure membership

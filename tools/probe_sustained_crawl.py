@@ -66,6 +66,13 @@ def main() -> None:
 
     config = CrawlConfig(start_urls=["http://sitelay.test/"], ignore_images=True)
     docs = synth_layered_site_df(spark, WIDTH, DEPTH).localCheckpoint()
+    # CLUSTER=0 disables WaveRunner(cluster_documents=True) for A/B:
+    # without the doc_id clustering the whole corpus reshuffles AND
+    # re-sorts in every wave's fetch join (plan-pinned 2-exchange vs
+    # 1-exchange shape; wall-clock delta at this corpus size sits
+    # inside the shared host's noise band — the lever is corpus-sized,
+    # which is the point of storing documents bucketed at deploy).
+    cluster = os.environ.get("CLUSTER", "1") == "1"
 
     # toy warmup crawl pays codegen for the whole wave plan family
     warm_docs = synth_layered_site_df(spark, 40, 3, domain="sitelay.test")
@@ -75,6 +82,7 @@ def main() -> None:
             spark, config, warm_docs, TableIO(spark, warm_dir),
             collect_stats=False, global_rank=False,
             use_bloom=BLOOM != "off", bloom_mode=BLOOM if BLOOM != "off" else "broadcast",
+            cluster_documents=cluster,
         ).run()
     finally:
         shutil.rmtree(warm_dir, ignore_errors=True)
@@ -88,6 +96,7 @@ def main() -> None:
             collect_stats=False, global_rank=False,
             use_bloom=BLOOM != "off",
             bloom_mode=BLOOM if BLOOM != "off" else "broadcast",
+            cluster_documents=cluster,
         )
         t0 = time.time()
         runner.seed()
@@ -119,6 +128,7 @@ def main() -> None:
                 "width": WIDTH,
                 "depth": DEPTH,
                 "bloom": BLOOM,
+                "cluster_documents": cluster,
                 "cpus": CPUS,
                 "pages": total_fetched,
                 "pages_expected": expect,
