@@ -197,9 +197,37 @@ def run_crawl_ingest(
         state["seen"] = rows
         io.write_wave("seen_stream", rows, 0)
 
+    def _bootstrap() -> None:
+        """Seed on first start; REHYDRATE on restart. A restarted query
+        resumes from the streaming checkpoint's next batch id, so the
+        in-memory seen/visited must reload to the exact committed point
+        — re-seeding from scratch would compute every post-restart
+        verdict against state missing all prior batches (URLs admitted
+        twice, seen rows duplicated). ``seen_stream`` is written LAST
+        per batch, so its highest committed wave is the batch's commit
+        marker; a ``visited_stream`` wave past it is a torn commit and
+        is rolled back here (Structured Streaming re-delivers that
+        batch id, and the per-wave writes are overwrite-idempotent)."""
+        committed = io.committed_waves("seen_stream")
+        if not committed:
+            _seed()
+            return
+        io.drop_waves_after("visited_stream", max(committed))
+        state["seen"] = (
+            io.read("seen_stream").drop("wave").localCheckpoint(eager=True)
+        )
+        vt = io.read("visited_stream")
+        if vt is not None:
+            v = vt.drop("wave").localCheckpoint(eager=True)
+            state["visited"] = v
+            # the home-rule anchor fires only on the first SUCCESSFUL
+            # fetch; any committed visited row means that already
+            # happened in a pre-restart batch
+            state["any_fetched"] = bool(v.limit(1).count())
+
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         if state["seen"] is None:
-            _seed()
+            _bootstrap()
         ok = batch_df.where(F.col("status") < 400).select("url").distinct()
         visited = state["visited"]
         if visited is not None:  # re-delivery: visited is a set

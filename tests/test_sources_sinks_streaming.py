@@ -639,3 +639,84 @@ def test_streaming_crawl_ingest_matches_batch_loop(spark, tmp_path):
     assert set(got) == state.seen
     for u, v in got.items():
         assert state.seen_verdicts[u] == v, u
+
+
+def test_streaming_crawl_ingest_restart_recovery(spark, tmp_path):
+    """Restart mid-stream: the first query ingests the early waves and
+    terminates; a SECOND run_crawl_ingest call (fresh in-memory state,
+    same streaming checkpoint) ingests the rest plus a re-delivery.
+    The restarted query must REHYDRATE seen/visited from the committed
+    stream deltas — re-seeding from scratch would admit every
+    already-seen URL again — and the final state must still equal the
+    batch loop / oracle replay."""
+    import os
+    import time as _time
+
+    from kryptone_spark.config import CrawlConfig
+    from kryptone_spark.plans.tableio import TableIO
+    from kryptone_spark.plans.waves import WaveRunner
+    from kryptone_spark.streaming import ingest
+    from kryptone_spark.synth import site_df, synth_site
+    from tests import oracle
+
+    site = synth_site(n_domains=2, n_products=10, page_size=4, seed=29)
+    config = CrawlConfig(start_urls=["http://sitea.test/"], ignore_images=True)
+
+    io_b = TableIO(spark, str(tmp_path / "batch"))
+    WaveRunner(spark, config, site_df(spark, site), io_b).run()
+    fb = io_b.read("fetch_batches").select("wave", "url", "fetch_at").collect()
+    by_wave = {}
+    for r in fb:
+        by_wave.setdefault(r["wave"], []).append(r)
+    waves = sorted(by_wave)
+    assert len(waves) >= 3  # needs a real split point
+
+    def result_row(r):
+        return {
+            "url": r["url"],
+            "fetch_ts": r["fetch_at"].strftime("%Y-%m-%dT%H:%M:%S.000Z"),
+            "status": 200,
+            "n_links": None,
+        }
+
+    results = tmp_path / "results"
+    results.mkdir()
+    t0 = _time.time()
+
+    def write_wave_file(w, name=None):
+        p = results / (name or f"w{w:03d}.json")
+        p.write_text("\n".join(json.dumps(result_row(r)) for r in by_wave[w]))
+        os.utime(p, (t0 + w, t0 + w))
+
+    split = len(waves) // 2
+    for w in waves[:split]:
+        write_wave_file(w)
+
+    io_s = TableIO(spark, str(tmp_path / "streamed"))
+    ckpt = str(tmp_path / "ckpt_restart")
+    stream = ingest.fetch_results_stream(spark, str(results), max_files_per_trigger=1)
+    q = ingest.run_crawl_ingest(stream, site_df(spark, site), config, io_s, ckpt)
+    q.awaitTermination(300)
+
+    for w in waves[split:]:
+        write_wave_file(w)
+    # at-least-once: an early wave re-delivers after the restart
+    write_wave_file(waves[0], name="zz_redeliver.json")
+
+    stream2 = ingest.fetch_results_stream(spark, str(results), max_files_per_trigger=1)
+    q2 = ingest.run_crawl_ingest(stream2, site_df(spark, site), config, io_s, ckpt)
+    q2.awaitTermination(300)
+
+    state = oracle.crawl(site, config)
+    visited = {r["url"] for r in io_s.read("visited_stream").collect()}
+    assert visited == state.visited
+    assert io_s.read("visited_stream").count() == len(visited)
+    got = {}
+    for r in sorted(io_s.read("seen_stream").collect(), key=lambda r: r["first_wave"]):
+        got.setdefault(r["url"], r["verdict"])
+    assert set(got) == state.seen
+    for u, v in got.items():
+        assert state.seen_verdicts[u] == v, u
+    # every URL carries exactly ONE seen row — rehydration means the
+    # post-restart batches never re-append already-seen URLs
+    assert io_s.read("seen_stream").count() == len(got)
