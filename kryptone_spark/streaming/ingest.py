@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from kryptone_spark.functions import urls as U
+from kryptone_spark.plans.lineage_cut import checkpoint_cut
 from kryptone_spark.plans.tableio import TableIO
 
 FETCH_RESULT = T.StructType(
@@ -267,6 +268,17 @@ def run_crawl_ingest(
         state["visited"] = (
             visited_rows if visited is None else visited.unionByName(visited_rows)
         )
+        # long-running streams accumulate one union segment per batch —
+        # the same O(batches) plan-depth growth the wave loop folds away
+        # (plans/waves.py:_append_state): every 16 batches, collapse
+        # each state union into one right-width checkpointed scan
+        state["appends"] = state.get("appends", 0) + 1
+        if state["appends"] >= 16:
+            state["appends"] = 0
+            par = batch_df.sparkSession.sparkContext.defaultParallelism
+            for k in ("seen", "visited"):
+                if state[k] is not None:
+                    state[k] = checkpoint_cut(state[k].coalesce(max(1, par)))
         io.write_wave("visited_stream", visited_rows, int(batch_id) + 1)
         io.write_wave("seen_stream", seen_rows, int(batch_id) + 1)
 

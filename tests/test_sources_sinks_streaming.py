@@ -720,3 +720,73 @@ def test_streaming_crawl_ingest_restart_recovery(spark, tmp_path):
     # every URL carries exactly ONE seen row — rehydration means the
     # post-restart batches never re-append already-seen URLs
     assert io_s.read("seen_stream").count() == len(got)
+
+
+def test_streaming_crawl_ingest_folds_state_across_many_batches(spark, tmp_path):
+    """A per-domain budget of 1 stretches the crawl across enough waves
+    that the stream crosses the 16-batch state-fold boundary (the same
+    O(batches) union-depth guard the wave loop has) — parity with the
+    oracle must survive the folds."""
+    import os
+    import time as _time
+
+    from kryptone_spark.config import CrawlConfig
+    from kryptone_spark.plans.tableio import TableIO
+    from kryptone_spark.plans.waves import WaveRunner
+    from kryptone_spark.streaming import ingest
+    from kryptone_spark.synth import site_df, synth_site
+    from tests import oracle
+
+    site = synth_site(n_domains=1, n_products=16, page_size=4, seed=31)
+    config = CrawlConfig(
+        start_urls=["http://sitea.test/"], ignore_images=True,
+        max_per_domain_per_wave=1, max_waves=40, wait_time=0.01,
+    )
+    io_b = TableIO(spark, str(tmp_path / "batch"))
+    WaveRunner(spark, config, site_df(spark, site), io_b).run()
+    fb = io_b.read("fetch_batches").select("wave", "url", "fetch_at").collect()
+    by_wave = {}
+    for r in fb:
+        by_wave.setdefault(r["wave"], []).append(r)
+    assert len(by_wave) > 18  # must cross the 16-batch fold boundary
+
+    results = tmp_path / "results"
+    results.mkdir()
+    t0 = _time.time()
+    for w in sorted(by_wave):
+        p = results / f"w{w:03d}.json"
+        p.write_text(
+            "\n".join(
+                json.dumps(
+                    {
+                        "url": r["url"],
+                        "fetch_ts": r["fetch_at"].strftime(
+                            "%Y-%m-%dT%H:%M:%S.000Z"
+                        ),
+                        "status": 200,
+                        "n_links": None,
+                    }
+                )
+                for r in by_wave[w]
+            )
+        )
+        os.utime(p, (t0 + w, t0 + w))
+
+    io_s = TableIO(spark, str(tmp_path / "streamed"))
+    stream = ingest.fetch_results_stream(
+        spark, str(results), max_files_per_trigger=1
+    )
+    q = ingest.run_crawl_ingest(
+        stream, site_df(spark, site), config, io_s, str(tmp_path / "ckpt_fold")
+    )
+    q.awaitTermination(600)
+
+    state = oracle.crawl(site, config)
+    visited = {r["url"] for r in io_s.read("visited_stream").collect()}
+    assert visited == state.visited
+    got = {}
+    for r in sorted(io_s.read("seen_stream").collect(), key=lambda r: r["first_wave"]):
+        got.setdefault(r["url"], r["verdict"])
+    assert set(got) == state.seen
+    for u, v in got.items():
+        assert state.seen_verdicts[u] == v, u
