@@ -607,6 +607,17 @@ def q_docs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.quality(_load(spark, sf_dir, "documents")).select("doc_id", "quality")
 
 
+def q_docs_soft404(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft-404 curation gate (operators/textstats.py:soft404_stats) —
+    pages answering 200 with an error body; engine-only (the reference
+    trusts whatever Selenium rendered)."""
+    from kryptone_spark.operators import textstats
+
+    return textstats.soft404_stats(_load(spark, sf_dir, "documents")).select(
+        "doc_id", "notfound_hit", "short_doc", "soft404_score"
+    )
+
+
 def q_docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kryptone_spark.operators import textstats
 
@@ -2081,6 +2092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_simhash": q_docs_simhash,
         "docs_langid": q_docs_langid,
         "docs_quality": q_docs_quality,
+        "docs_soft404": q_docs_soft404,
         "docs_token_stats": q_docs_token_stats,
         "docs_fingerprint": q_docs_fingerprint,
         "docs_repetition": q_docs_repetition,
@@ -2636,6 +2648,30 @@ def oracle_sql() -> dict[str, str]:
                        + 0.4 * least((CASE WHEN nt > 0 THEN sw::DOUBLE / nt ELSE 0 END) * 4.0, 1.0)
                        + 0.2 * (1.0 - least((np::DOUBLE / greatest(nc, 1)) * 5.0, 1.0)), 6) AS quality
             FROM q
+        """,
+        "docs_soft404": """
+            SELECT doc_id,
+                   (contains(lower(coalesce(text, '')), 'page not found')
+                    OR contains(lower(coalesce(text, '')), '404 not found')
+                    OR contains(lower(coalesce(text, '')), 'error 404')
+                    OR contains(lower(coalesce(text, '')), 'http 404')
+                    OR contains(lower(coalesce(text, '')), 'does not exist')
+                    OR contains(lower(coalesce(text, '')), 'no longer available')
+                    OR contains(lower(coalesce(text, '')), 'page you requested')
+                    OR contains(lower(coalesce(text, '')), 'cannot be found')
+                    OR contains(lower(coalesce(text, '')), 'could not be found')) AS notfound_hit,
+                   length(coalesce(text, '')) < 500 AS short_doc,
+                   round((CASE WHEN (contains(lower(coalesce(text, '')), 'page not found')
+                    OR contains(lower(coalesce(text, '')), '404 not found')
+                    OR contains(lower(coalesce(text, '')), 'error 404')
+                    OR contains(lower(coalesce(text, '')), 'http 404')
+                    OR contains(lower(coalesce(text, '')), 'does not exist')
+                    OR contains(lower(coalesce(text, '')), 'no longer available')
+                    OR contains(lower(coalesce(text, '')), 'page you requested')
+                    OR contains(lower(coalesce(text, '')), 'cannot be found')
+                    OR contains(lower(coalesce(text, '')), 'could not be found')) THEN 0.7 ELSE 0.0 END
+                   + CASE WHEN length(coalesce(text, '')) < 500 THEN 0.3 ELSE 0.0 END)::DOUBLE, 1) AS soft404_score
+            FROM documents
         """,
         "docs_token_stats": """
             SELECT doc_id,

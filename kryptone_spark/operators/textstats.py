@@ -248,3 +248,52 @@ def fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fp_md5", F.md5(norm)).withColumn(
         "fp_xx64", F.xxhash64(norm)
     )
+
+
+# Standard soft-404 body phrases (the public heuristic inventory used
+# by crawl curation since Bar-Yossef et al., WWW'04 "Sic Transit Gloria
+# Telae"; Heritrix and CommonCrawl pipelines gate on the same family).
+SOFT404_PATTERNS: tuple[str, ...] = (
+    "page not found",
+    "404 not found",
+    "error 404",
+    "http 404",
+    "does not exist",
+    "no longer available",
+    "page you requested",
+    "cannot be found",
+    "could not be found",
+)
+
+
+def soft404_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Soft-404 detection — pages that answered HTTP 200 with an error
+    body. A crawler that treats soft 404s as content pollutes both the
+    training corpus and the link graph (their outlinks are template
+    chrome), so this is a standard curation gate; the reference has no
+    equivalent (it trusts whatever Selenium rendered). Engine-only op,
+    same family as the quality/repetition gates above.
+
+    Adds: ``notfound_hit`` (any standard error phrase in the lowered
+    text), ``short_doc`` (chars < 500 — error pages are terse),
+    ``soft404_score`` (0.7·hit + 0.3·short, one decimal: phrase
+    evidence dominates, shortness alone never flags), ``is_soft404``
+    (= notfound_hit). One codegen projection, zero shuffles —
+    ``contains`` only, so the DuckDB oracle states the identical
+    computation; scanning 10^10 bodies is a map-only pass."""
+    low = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    hit = F.lit(False)
+    for p in SOFT404_PATTERNS:
+        hit = hit | low.contains(p)
+    short = F.length(F.coalesce(F.col(text_col), F.lit(""))) < 500
+    score = F.round(
+        F.when(hit, F.lit(0.7)).otherwise(F.lit(0.0))
+        + F.when(short, F.lit(0.3)).otherwise(F.lit(0.0)),
+        1,
+    )
+    return (
+        df.withColumn("notfound_hit", hit)
+        .withColumn("short_doc", short)
+        .withColumn("soft404_score", score)
+        .withColumn("is_soft404", hit)
+    )

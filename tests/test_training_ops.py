@@ -900,3 +900,27 @@ def test_dedup_lines_null_text_and_literal_sep(spark):
     assert set(out) == {1, 2}
     assert out[1]["text"] == "a|b" and out[1]["n_lines"] == 3
     assert out[2]["text"] == "" and out[2]["n_kept"] == 1  # '' ineligible, passes
+
+
+def test_soft404_stats(spark):
+    long_pad = " real content" * 60  # > 500 chars
+    df = spark.createDataFrame(
+        [
+            (0, "Sorry, the Page Not Found — error 404."),   # hit + short
+            (1, "Oops! This page does NOT exist." + long_pad),  # hit, long
+            (2, "tiny landing page"),                         # clean, short
+            (3, "perfectly normal article" + long_pad),       # clean, long
+            (4, None),                                        # null text
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in textstats.soft404_stats(df).collect()}
+    assert rows[0]["notfound_hit"] and rows[0]["is_soft404"]
+    assert rows[0]["short_doc"] and rows[0]["soft404_score"] == 1.0
+    assert rows[1]["notfound_hit"] and not rows[1]["short_doc"]
+    assert rows[1]["soft404_score"] == 0.7
+    assert not rows[2]["notfound_hit"] and rows[2]["short_doc"]
+    assert rows[2]["soft404_score"] == 0.3 and not rows[2]["is_soft404"]
+    assert rows[3]["soft404_score"] == 0.0
+    # null text = empty body: short, no phrase hit
+    assert not rows[4]["notfound_hit"] and rows[4]["short_doc"]
